@@ -109,6 +109,18 @@ class GridSpec:
             .drop("_cx", "_cy")
         )
 
+    def explode_covering_xy(
+        self, df: DataFrame, min_x: str, max_x: str, min_y: str, max_y: str
+    ) -> DataFrame:
+        """Like :meth:`explode_covering` but keeps unpacked ``_cx``/``_cy``
+        (the join keys the kNN planner uses)."""
+        cx0, cx1, cy0, cy1 = self.covering_range_cols(
+            F.col(min_x), F.col(max_x), F.col(min_y), F.col(max_y)
+        )
+        return df.withColumn("_cx", F.explode(F.sequence(cx0, cx1))).withColumn(
+            "_cy", F.explode(F.sequence(cy0, cy1))
+        )
+
 
 def grid_from_points(
     df: DataFrame, x: str = "x", y: str = "y", resolution: int = DEFAULT_RESOLUTION

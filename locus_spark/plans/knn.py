@@ -1,0 +1,203 @@
+"""Generic exact kNN join via cell-ring expansion — the one planner behind
+every nearest/n-nearest family in the reference:
+
+* kd points  (K1/K4: ``/root/reference/locus/kd.py:176-374``)
+* R-tree boxes (R7/R9: ``/root/reference/locus/r.py:453-635``)
+* segments to point / to segment (S1-S8: ``/root/reference/locus/segmental.py``)
+
+The reference prunes with per-node lower bounds on a heap frontier
+(``kd.py:368``, ``r.py:592-610``, ``_core/segmental.py:82-153``).  The
+distributed analogue: join probes against targets in Chebyshev cell annuli of
+geometrically growing width, maintain a per-probe running top-k, and settle a
+probe once its k-th best squared distance is within the squared distance from
+the probe's geometry to the nearest *uncovered* region.  Exactness holds
+because (a) the exact dist² is evaluated on every candidate and (b) the
+settle bound is conservative (shrunk by a float-fuzz margin far above ULP
+scale, far below cell scale).
+
+Every round is one distributed broadcast-hash join (probe annuli are tiny
+relative to targets) + one window; the driver loop only synchronizes rounds —
+ring counts stay O(log gridsize) thanks to geometric annulus growth, so the
+pattern holds at 1000-executor scale where each round is a full-cluster job.
+
+Targets that span multiple cells (boxes, segments) may surface in several
+annuli; rounds therefore dedup on (qid, id) before the top-k window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from locus_spark.cells import GridSpec
+
+#: probe-side internal columns: cell-range of the probe geometry's bbox and
+#: the bbox itself in coordinates.
+PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
+PROBE_BBOX_COLS = ("_sx0", "_sx1", "_sy0", "_sy1")
+
+
+def probe_frame(
+    probes: DataFrame,
+    grid: GridSpec,
+    min_x: Column,
+    max_x: Column,
+    min_y: Column,
+    max_y: Column,
+    payload: list[str],
+) -> DataFrame:
+    """Attach bbox + cell-range columns to a probe table.  For point probes
+    pass the point for all four bounds."""
+    return probes.select(
+        "qid",
+        *payload,
+        min_x.alias("_sx0"),
+        max_x.alias("_sx1"),
+        min_y.alias("_sy0"),
+        max_y.alias("_sy1"),
+        grid.cell_x_col(min_x).alias("_bcx0"),
+        grid.cell_x_col(max_x).alias("_bcx1"),
+        grid.cell_y_col(min_y).alias("_bcy0"),
+        grid.cell_y_col(max_y).alias("_bcy1"),
+    )
+
+
+def _annulus_cells(probes: DataFrame, grid: GridSpec, lo: int, hi: int) -> DataFrame:
+    """(probe, cell) pairs for cells whose Chebyshev distance to the probe's
+    cell-rectangle lies in [lo, hi], clipped to the grid."""
+    n = grid.n
+    cx0 = F.greatest(F.lit(0), F.col("_bcx0") - F.lit(hi))
+    cx1 = F.least(F.lit(n - 1), F.col("_bcx1") + F.lit(hi))
+    cy0 = F.greatest(F.lit(0), F.col("_bcy0") - F.lit(hi))
+    cy1 = F.least(F.lit(n - 1), F.col("_bcy1") + F.lit(hi))
+    out = (
+        probes.withColumn("_cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("_cy", F.explode(F.sequence(cy0, cy1)))
+    )
+    if lo > 0:
+        dist_rect = F.greatest(
+            F.greatest(F.col("_bcx0") - F.col("_cx"), F.col("_cx") - F.col("_bcx1"), F.lit(0)),
+            F.greatest(F.col("_bcy0") - F.col("_cy"), F.col("_cy") - F.col("_bcy1"), F.lit(0)),
+        )
+        out = out.filter(dist_rect >= F.lit(lo))
+    return out
+
+
+def generic_knn_join(
+    targets: DataFrame,
+    target_cells: DataFrame,
+    probes: DataFrame,
+    k: int,
+    grid: GridSpec,
+    dist2: Column,
+    tie_desc_id: bool = False,
+    dedup: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact top-k join.
+
+    ``targets``       — ``id`` + geometry payload columns.
+    ``target_cells``  — same rows with ``_cx``/``_cy`` (exploded covering
+                        cells for multi-cell geometries).
+    ``probes``        — output of :func:`probe_frame`.
+    ``dist2``         — squared-distance Column over the joined row.
+    ``tie_desc_id``   — R-tree family breaks distance ties by *largest* id
+                        (``/root/reference/locus/r.py:599-606``); kd and
+                        segmental by smallest.
+
+    Returns probe payload + target payload + ``dist2`` + ``rn`` (long).
+    """
+    if k < 1:
+        raise ValueError("knn: k must be >= 1")
+    n_targets = targets.count()
+    if n_targets == 0:
+        raise ValueError("knn: empty target input")
+
+    tie = F.col("id").desc() if tie_desc_id else F.col("id").asc()
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), tie)
+    probe_payload = [c for c in probes.columns if c not in PROBE_CELL_COLS]
+    target_payload = targets.columns
+    out_cols = [*probe_payload, *target_payload, "dist2"]
+    out_cols = [c for c in out_cols if c not in PROBE_BBOX_COLS]
+
+    if k >= n_targets:
+        # O3 short-circuit (/root/reference/locus/kd.py:216-220 etc.)
+        pairs = F.broadcast(probes.drop(*PROBE_CELL_COLS)).join(targets)
+        return (
+            pairs.withColumn("dist2", dist2)
+            .select(*out_cols, F.row_number().over(w).cast("long").alias("rn"))
+        )
+
+    scale = max(
+        abs(grid.min_x), abs(grid.max_x), abs(grid.min_y), abs(grid.max_y),
+        grid.cell_w * grid.n, grid.cell_h * grid.n,
+    )
+    margin = 1e-9 * scale
+
+    unsettled = probes
+    best: DataFrame | None = None
+    lo, step = 0, 1
+    for _ in range(max_rounds):
+        hi = lo + step - 1
+        cand = (
+            F.broadcast(_annulus_cells(unsettled, grid, lo, hi))
+            .join(target_cells, ["_cx", "_cy"])
+            .drop("_cx", "_cy")
+            .withColumn("dist2", dist2)
+        )
+        best = cand if best is None else best.unionByName(cand)
+        if dedup:
+            # a multi-cell target may surface through several cells/rounds
+            best = best.dropDuplicates(["qid", "id"])
+        best = (
+            best.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+
+        stats = best.groupBy("qid").agg(
+            F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
+        )
+        n = grid.n
+        big = F.lit(float("inf"))
+        lx = F.lit(grid.min_x) + (F.col("_bcx0") - F.lit(hi)) * F.lit(grid.cell_w)
+        rx = F.lit(grid.min_x) + (F.col("_bcx1") + F.lit(hi + 1)) * F.lit(grid.cell_w)
+        ly = F.lit(grid.min_y) + (F.col("_bcy0") - F.lit(hi)) * F.lit(grid.cell_h)
+        ty = F.lit(grid.min_y) + (F.col("_bcy1") + F.lit(hi + 1)) * F.lit(grid.cell_h)
+        exh_l = F.col("_bcx0") - F.lit(hi) <= 0
+        exh_r = F.col("_bcx1") + F.lit(hi) >= n - 1
+        exh_b = F.col("_bcy0") - F.lit(hi) <= 0
+        exh_t = F.col("_bcy1") + F.lit(hi) >= n - 1
+        gap = F.least(
+            F.when(exh_l, big).otherwise(F.col("_sx0") - lx),
+            F.when(exh_r, big).otherwise(rx - F.col("_sx1")),
+            F.when(exh_b, big).otherwise(F.col("_sy0") - ly),
+            F.when(exh_t, big).otherwise(ty - F.col("_sy1")),
+        )
+        bound = F.greatest(F.lit(0.0), gap - F.lit(margin))
+        all_exhausted = exh_l & exh_r & exh_b & exh_t
+        settled = all_exhausted | F.coalesce(
+            (F.col("_cnt") >= k) & (F.col("_kth") <= bound * bound), F.lit(False)
+        )
+        unsettled = (
+            unsettled.join(stats, "qid", "left")
+            .filter(~settled)
+            .select(*probes.columns)
+            .localCheckpoint()
+        )
+        if unsettled.isEmpty():
+            break
+        lo, step = hi + 1, step * 2
+    else:
+        raise RuntimeError("generic_knn_join: ring expansion did not converge")
+
+    return best.select(
+        *out_cols, F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+def make_dist2(fn: Callable[..., Column], *cols: str) -> Column:
+    return fn(*[F.col(c) for c in cols])

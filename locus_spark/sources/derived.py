@@ -64,11 +64,15 @@ SELECT o_orderkey AS id,
 FROM orders
 """
 
-#: segments(id, x1, y1, x2, y2) — one segment per lineitem row; endpoints
+#: segments(id, x1, y1, x2, y2) — one segment per distinct (orderkey,
+#: linenumber) pair (the synthetic lineitem contains duplicate pairs, so
+#: DISTINCT keeps ids unique — the reference's positional index is unique
+#: even for duplicate geometries, /root/reference/locus/_core/kd.py:12);
+#: endpoints
 #: distinct by construction (offsets are bounded away from zero), matching
 #: /root/reference/tests/strategies/base.py:80-85.
 SEGMENTS_SQL = """
-SELECT l_orderkey * 8 + l_linenumber AS id,
+SELECT DISTINCT l_orderkey * 8 + l_linenumber AS id,
        (((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000003) / 1000003.0e0 * 350.0e0 - 175.0e0 AS x1,
        (((l_orderkey * 8 + l_linenumber) * 2246822519) % 999983) / 999983.0e0 * 170.0e0 - 85.0e0 AS y1,
        (((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000003) / 1000003.0e0 * 350.0e0 - 175.0e0
