@@ -1,0 +1,102 @@
+"""Text-analysis operators for the training-data pipeline (documents table).
+
+All pure Column expressions (codegen'd): token counting, quality scoring,
+n-gram-marker language ID, content fingerprinting.  Ratios are divisions of
+exact integers → bit-identical in any IEEE engine (oracle parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: marker tokens per language for the heuristic classifier — deterministic
+#: and dialect-portable (list_filter/filter + lambda in both engines).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "ru": ("и", "в", "не", "на", "что"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _tokens(col: str = "text"):
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint per document: (doc_id, fp, n_chars)."""
+    return documents.select("doc_id", F.md5("text").alias("fp"), "n_chars")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_uniq, uniq_ratio) — whitespace tokenization."""
+    toks = documents.select("doc_id", _tokens().alias("ts"))
+    return toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).alias("n_uniq"),
+        (
+            F.size(F.array_distinct("ts")).cast("double")
+            / F.size("ts").cast("double")
+        ).alias("uniq_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, mean_tok_len, quality) — simple
+    length/stopword quality heuristic; every term a ratio of exact ints."""
+    toks = documents.select("doc_id", "n_chars", _tokens().alias("ts"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    scored = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size(F.filter("ts", lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+        F.col("n_chars"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "stop_ratio"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_tok_len"
+        ),
+        (
+            F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+            * (
+                F.lit(1.0)
+                - F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+            )
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-based language ID: count marker-token hits per language, argmax
+    with lexicographic tie-break.  Returns (doc_id, lang, pred_lang, n_hits)."""
+    toks = documents.select("doc_id", "lang", _tokens().alias("ts"))
+
+    def _marker_counter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter("ts", lambda t: F.array_contains(arr, t)))
+
+    scores = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_counter(markers).alias(f"_s_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit(None).cast("string")
+    # lexicographic preference on ties: fold from the last language backwards
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scores.select(
+        "doc_id", "lang", pred.alias("pred_lang"), best.cast("long").alias("n_hits")
+    )

@@ -276,3 +276,320 @@ def seg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = derived.load(spark, sf_dir, "segments")
     qs = derived.load(spark, sf_dir, "query_segments")
     return segment_knn_join(s, qs, KNN_K, grid=WORLD_GRID)
+
+
+# ===========================================================================
+# tiling queries (north rule: tile assignment, point-in-polygon, raster↔vector)
+# ===========================================================================
+
+from locus_spark.operators.tiles import (  # noqa: E402
+    make_polygon_edges,
+    point_in_polygon_join,
+    polygon_edges_values_sql,
+    raster_vector_assignment,
+    tile_point_counts,
+    SQL_CROSSING,
+)
+
+#: exact-SQL replica of GridSpec.cell_x/y_col at WORLD_GRID (64x64):
+#: cell_w = 360/64 = 5.625 (dyadic → exact), cell_h = 180/64 = 2.8125.
+_TILE_X = "CAST(least(63.0e0, greatest(0.0e0, floor((x - (-180.0e0)) / 5.625e0))) AS BIGINT)"
+_TILE_Y = "CAST(least(63.0e0, greatest(0.0e0, floor((y - (-90.0e0)) / 2.8125e0))) AS BIGINT)"
+
+_TILE_COUNTS_ORACLE = f"""
+{derived.with_ctes('points')}
+SELECT {_TILE_X} AS tile_x, {_TILE_Y} AS tile_y, count(*) AS n
+FROM points
+GROUP BY 1, 2
+"""
+
+
+@register("tile_point_counts", _TILE_COUNTS_ORACLE)
+def q_tile_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tile aggregation of the points table (exact ints)."""
+    pts = derived.load(spark, sf_dir, "points")
+    return tile_point_counts(pts, WORLD_GRID)
+
+
+_POLY_ROWS = make_polygon_edges(n_polygons=8, seed=42)
+_CROSS_SQL = SQL_CROSSING.format(
+    px="p.x", py="p.y", x1="e.x1", y1="e.y1", x2="e.x2", y2="e.y2"
+)
+
+_PIP_ORACLE = f"""
+{derived.with_ctes('points')}
+, edges AS (SELECT * FROM {polygon_edges_values_sql(_POLY_ROWS)})
+, counted AS (
+  SELECT e.qid AS qid, p.id AS id, p.x AS x, p.y AS y,
+         sum(CASE WHEN {_CROSS_SQL} THEN 1 ELSE 0 END) AS nc
+  FROM points p CROSS JOIN edges e
+  GROUP BY e.qid, p.id, p.x, p.y
+)
+SELECT qid, id, x, y FROM counted WHERE nc % 2 = 1
+"""
+
+
+@register("pip_polygons", _PIP_ORACLE)
+def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join (even-odd ray casting as a relational plan)."""
+    pts = derived.load(spark, sf_dir, "points")
+    edges = spark.createDataFrame(
+        [(q, x1, y1, x2, y2) for q, _, x1, y1, x2, y2 in _POLY_ROWS],
+        "qid int, x1 double, y1 double, x2 double, y2 double",
+    )
+    return point_in_polygon_join(pts, edges, grid=WORLD_GRID)
+
+
+_BTX0 = _TILE_X.replace("(x ", "(min_x ")
+_BTX1 = _TILE_X.replace("(x ", "(max_x ")
+_BTY0 = _TILE_Y.replace("(y ", "(min_y ")
+_BTY1 = _TILE_Y.replace("(y ", "(max_y ")
+
+_RASTER_VECTOR_ORACLE = f"""
+{derived.with_ctes('boxes', 'points')}
+, pt AS (
+  SELECT {_TILE_X} AS tile_x, {_TILE_Y} AS tile_y, count(*) AS n
+  FROM points GROUP BY 1, 2
+), bt AS (
+  SELECT id, tx.tile_x AS tile_x, ty.tile_y AS tile_y
+  FROM boxes,
+       unnest(range({_BTX0}, {_BTX1} + 1)) AS tx(tile_x),
+       unnest(range({_BTY0}, {_BTY1} + 1)) AS ty(tile_y)
+)
+SELECT bt.id AS id, count(*) AS n_tiles,
+       sum(coalesce(pt.n, 0)) AS n_points
+FROM bt LEFT JOIN pt ON bt.tile_x = pt.tile_x AND bt.tile_y = pt.tile_y
+GROUP BY bt.id
+"""
+
+
+@register("raster_vector", _RASTER_VECTOR_ORACLE)
+def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector tile assignment: boxes exploded to covered raster tiles,
+    aggregated against per-tile point counts (exact ints)."""
+    b = derived.load(spark, sf_dir, "boxes")
+    pts = derived.load(spark, sf_dir, "points")
+    return raster_vector_assignment(b, pts, WORLD_GRID)
+
+
+# ===========================================================================
+# training-data pipeline queries (dedup / text / similarity)
+# ===========================================================================
+
+from locus_spark.operators.ann import cosine_topk, lsh_topk  # noqa: E402
+from locus_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dups,
+)
+from locus_spark.operators.textops import (  # noqa: E402
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return exact_dedup(spark.table("documents"))
+
+
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+), bands AS (
+  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, unnest(range(0, 8)) AS bb(b)
+  GROUP BY doc_id, b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+), inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+  GROUP BY cand.id_a, cand.id_b
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a AS id_a, i.id_b AS id_b,
+       i.n_inter / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with exact Jaccard verification."""
+    derived.register_base_tables(spark, sf_dir)
+    return minhash_lsh_pairs(spark.table("documents"))
+
+
+@register("dedup_simhash", None)  # bit-twiddling UDF — rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return simhash_near_dups(spark.table("documents"), max_hamming=4)
+
+
+_FP_ORACLE = "SELECT doc_id, md5(text) AS fp, n_chars FROM documents"
+
+
+@register("doc_fingerprint", _FP_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return doc_fingerprint(spark.table("documents"))
+
+
+_TOKEN_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS INT) AS n_uniq,
+       CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS uniq_ratio
+FROM toks
+"""
+
+
+@register("doc_token_stats", _TOKEN_STATS_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return token_stats(spark.table("documents"))
+
+
+_QUALITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+         CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS INT) AS n_stop,
+         n_chars
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+       least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0)
+         * (1.0e0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+FROM scored
+"""
+
+
+@register("doc_quality", _QUALITY_ORACLE)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return quality_score(spark.table("documents"))
+
+
+def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CAST(len(list_filter(ts, t -> list_contains([{lst}], t))) AS INT) AS _s_{lang}"
+    )
+
+
+from locus_spark.operators.textops import LANG_MARKERS  # noqa: E402
+
+_LANG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {", ".join(_lang_score_sql(l, m) for l, m in sorted(LANG_MARKERS.items()))}
+  FROM toks
+), best AS (
+  SELECT *, greatest({", ".join(f"_s_{l}" for l in sorted(LANG_MARKERS))}) AS _best
+  FROM scores
+)
+SELECT doc_id, lang,
+       CASE {" ".join(f"WHEN _s_{l} = _best THEN '{l}'" for l in sorted(LANG_MARKERS))} END AS pred_lang,
+       CAST(_best AS BIGINT) AS n_hits
+FROM best
+"""
+
+
+@register("doc_lang_id", _LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    return lang_id(spark.table("documents"))
+
+
+ANN_K = 5
+_LDP = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_COS_SQL = (
+    f"{_LDP.format(a='e.embedding', b='q.qv')}"
+    f" / (sqrt({_LDP.format(a='e.embedding', b='e.embedding')})"
+    f" * sqrt({_LDP.format(a='q.qv', b='q.qv')}))"
+)
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT q.qid AS qid, e.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= {ANN_K}
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (baseline for the LSH scale path)."""
+    derived.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(emb, probes, ANN_K)
+
+
+@register("ann_lsh_topk", None)  # approximate path — rows-only; recall tested in pytest
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, probes, ANN_K, n_planes=6, n_tables=8)
+
+
+_EVENTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly", _EVENTS_ORACLE)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup — the batch form of the streaming aggregation in
+    locus_spark/streaming (same plan, readStream source)."""
+    derived.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )

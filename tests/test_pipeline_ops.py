@@ -1,0 +1,127 @@
+"""Training-pipeline operators: dedup, ANN, text analysis, tiles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from locus_spark.cells import GridSpec
+from locus_spark.operators.ann import cosine_topk, lsh_topk
+from locus_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_dups
+from locus_spark.operators.textops import lang_id, quality_score, token_stats
+from locus_spark.operators.tiles import (
+    crossing_pred,
+    point_in_polygon_join,
+    raster_vector_assignment,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat", "en"),
+    (1, "the cat sat on the mat", "en"),          # exact dup of 0
+    (2, "the cat sat on the red mat", "en"),      # near dup of 0
+    (3, "der hund und die katze und der vogel", "de"),
+    (4, "completely different words entirely here now", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, lang, f"src{i}", len(t)) for i, t, lang in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r.fp: (r.keep_id, r.n_docs) for r in exact_dedup(docs).collect()}
+    assert sorted(n for _, n in rows.values()) == [1, 1, 1, 2]
+    dup = [v for v in rows.values() if v[1] == 2][0]
+    assert dup[0] == 0  # keeper is the smallest doc_id
+
+
+def test_minhash_finds_near_dup_pair(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup → jaccard 1
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] < 1
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, 10).collect()}
+    assert out[(0, 1)] == 0
+
+
+def test_token_stats_and_quality(docs):
+    ts = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert ts[0].n_tokens == 6 and ts[0].n_uniq == 5
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert 0 <= q[0].stop_ratio <= 1 and q[0].quality >= 0
+
+
+def test_lang_id_markers(docs):
+    out = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+
+
+def test_lsh_topk_is_subset_with_recall(spark):
+    import random
+
+    rng = random.Random(3)
+    # clustered corpus: 20 clusters of 10 near-identical vectors
+    rows = []
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(10):
+            rows.append(
+                (c * 10 + j, [v + rng.gauss(0, 0.05) for v in center], c)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    probes = emb.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, probes, 5).collect()}
+    approx = {(r.qid, r.vec_id) for r in lsh_topk(emb, probes, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9  # clustered data → LSH must find the cluster-mates
+
+
+def test_pip_square_inside_outside(spark):
+    # unit square polygon, one point inside, one outside, one in the hole of
+    # a concave "C" shape to exercise even-odd counting
+    edges = [
+        (0, 0.0, 0.0, 4.0, 0.0),
+        (0, 4.0, 0.0, 4.0, 4.0),
+        (0, 4.0, 4.0, 0.0, 4.0),
+        (0, 0.0, 4.0, 0.0, 0.0),
+    ]
+    edf = spark.createDataFrame(
+        edges, "qid int, x1 double, y1 double, x2 double, y2 double"
+    )
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 9.0, 9.0), (2, -1.0, 2.0)],
+        "id long, x double, y double",
+    )
+    got = {(r.qid, r.id) for r in point_in_polygon_join(pts, edf).collect()}
+    assert got == {(0, 0)}
+    # with a grid prefilter too
+    g = GridSpec(-10.0, -10.0, 10.0, 10.0, 3)
+    got2 = {(r.qid, r.id) for r in point_in_polygon_join(pts, edf, grid=g).collect()}
+    assert got2 == {(0, 0)}
+
+
+def test_raster_vector_counts(spark):
+    g = GridSpec(0.0, 0.0, 8.0, 8.0, 2)  # 4x4 tiles of 2x2
+    pts = spark.createDataFrame(
+        [(i, 1.0 + 2.0 * (i % 4), 1.0) for i in range(8)],
+        "id long, x double, y double",
+    )  # two points in each of tiles (0..3, 0)
+    boxes = spark.createDataFrame(
+        [(0, 0.0, 3.9, 0.0, 1.9), (1, 6.1, 7.9, 6.1, 7.9)],
+        "id long, min_x double, max_x double, min_y double, max_y double",
+    )
+    out = {r.id: (r.n_tiles, r.n_points) for r in raster_vector_assignment(boxes, pts, g).collect()}
+    assert out[0] == (2, 4)   # covers tiles (0,0),(1,0) → 2+2 points
+    assert out[1] == (1, 0)   # empty corner tile
