@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Flagship end-to-end pages job — the spark-submit entry (north rule:
+"ships via spark-submit --py-files to run at N and 4N executors").
+
+    spark-submit --py-files locus_spark.zip jobs/run.py --rows 2000000 ...
+    # or locally:
+    python jobs/run.py --rows 500000 --cores 8 --checkpoint /tmp/locus_ck
+
+Pipeline (each stage checkpointed + manifest'd, resumable):
+  1. synth pages (deterministic Common-Crawl-style table; skewed hosts)
+  2. extract text (vectorized; byte-identity invariant spot-checked)
+  3. geocode url→(x,y) (native xxhash64; dense hosts ⇒ hot cells)
+  4. cell index build: Hilbert-clustered, salted layout
+  5. queries over the index: box-range join, ball join, exact kNN join
+
+Prints one JSON line with per-stage rows/sec — the scaling harness
+(tools/bench_scaling.py) runs this at two parallelism levels and reports
+throughput scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from locus_spark.cells import GridSpec, cluster_by_hilbert  # noqa: E402
+from locus_spark.extract import extract_text, with_extracted_text  # noqa: E402
+from locus_spark.geocode import geocode  # noqa: E402
+from locus_spark.operators.points import find_ball_join, find_box_join, knn_join  # noqa: E402
+from locus_spark.session import get_spark  # noqa: E402
+from locus_spark.skew import hot_cells, salted_repartition  # noqa: E402
+from locus_spark.sources.checkpoint import StageCheckpoint  # noqa: E402
+from locus_spark.sources.synth import synth_pages  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
+    ap.add_argument("--checkpoint", default="/tmp/locus_spark_ck")
+    ap.add_argument("--resolution", type=int, default=7)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--probes", type=int, default=2000)
+    ap.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    args = ap.parse_args()
+
+    master = f"local[{args.cores}]" if args.cores else None
+    parts = max(8, (args.cores or 32))
+    spark = get_spark(
+        app_name=f"locus_pages_{args.rows}",
+        master=master,
+        shuffle_partitions=parts,
+    )
+    ck_root = f"{args.checkpoint}/r{args.rows}_c{args.cores or 'all'}"
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(ck_root, ignore_errors=True)
+    ck = StageCheckpoint(ck_root)
+    metrics: dict[str, float] = {}
+    fp = f"rows={args.rows}"
+
+    # -- stage 1+2+3: pages → extract → geocode (one fused, checkpointed pass)
+    t0 = time.monotonic()
+
+    def build_geo():
+        pages = synth_pages(spark, args.rows, partitions=parts)
+        extracted = with_extracted_text(pages)
+        geo = geocode(extracted)
+        return geo.select(
+            F.xxhash64("url").alias("id"), "url", "host", "x", "y", "lang",
+            F.length("extracted").alias("text_len"),
+        )
+
+    geo = ck.run_stage(spark, "geocoded", build_geo, fingerprint=fp)
+    n_geo = geo.count()
+    metrics["geocode_rows_per_s"] = round(n_geo / (time.monotonic() - t0), 1)
+
+    # byte-identity spot check (full check lives in the test suite)
+    sample = with_extracted_text(synth_pages(spark, 200, partitions=2)).collect()
+    for r in sample:
+        assert r.extracted == extract_text(bytes(r.html)), "byte-identity violated"
+
+    # -- stage 4: Hilbert-clustered cell index with salted hot cells
+    t0 = time.monotonic()
+    grid = GridSpec(-180.0, -90.0, 180.0, 90.0, args.resolution)
+
+    def build_index():
+        clustered = cluster_by_hilbert(
+            geo.select("id", "x", "y"), grid, num_partitions=parts
+        )
+        hot = hot_cells(clustered, factor=8.0, min_rows=5000)
+        if hot:
+            clustered = salted_repartition(
+                clustered, hot=hot, buckets=8, id_col="id", num_partitions=parts
+            )
+        return clustered
+
+    index = ck.run_stage(spark, "cell_index", build_index, fingerprint=fp)
+    n_idx = index.count()
+    metrics["index_build_rows_per_s"] = round(n_idx / (time.monotonic() - t0), 1)
+
+    # -- stage 5: queries against the index
+    points = index.select("id", "x", "y")
+    probes = (
+        points.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(max(1, n_idx // args.probes))) == 0)
+        .select(F.col("id").alias("qid"), "x", "y")
+    )
+    n_probes = probes.count()
+
+    qboxes = probes.limit(500).select(
+        F.col("qid"),
+        (F.col("x") - 2.0).alias("min_x"), (F.col("x") + 2.0).alias("max_x"),
+        (F.col("y") - 1.0).alias("min_y"), (F.col("y") + 1.0).alias("max_y"),
+    )
+    t0 = time.monotonic()
+    n_box = find_box_join(points, qboxes, grid=grid).count()
+    metrics["box_join_result_rows"] = n_box
+    metrics["box_join_rows_per_s"] = round(n_geo / (time.monotonic() - t0), 1)
+
+    qcircles = probes.limit(500).select("qid", "x", "y", F.lit(1.5).alias("r"))
+    t0 = time.monotonic()
+    n_ball = find_ball_join(points, qcircles, grid=grid).count()
+    metrics["ball_join_result_rows"] = n_ball
+    metrics["ball_join_rows_per_s"] = round(n_geo / (time.monotonic() - t0), 1)
+
+    t0 = time.monotonic()
+    n_knn = knn_join(points, probes, args.k, grid=grid).count()
+    dt = time.monotonic() - t0
+    metrics["knn_result_rows"] = n_knn
+    metrics["knn_probes_per_s"] = round(n_probes / dt, 1)
+    metrics["knn_rows_per_s"] = round(n_geo / dt, 1)
+
+    out = {
+        "job": "pages_pipeline",
+        "rows": n_geo,
+        "probes": n_probes,
+        "cores": args.cores,
+        "resolution": args.resolution,
+        **metrics,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Windowed streaming aggregation with late-data watermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming hourly event counts (tumbling window + watermark).
+
+    Batch-equivalent of ``locus_spark.queries.q_events_hourly`` — the window
+    struct is flattened to its start so results align with the batch
+    ``date_trunc('hour', ts)`` form.  ``approx_count_distinct`` stands in for
+    the exact distinct (exact distinct isn't incrementally computable in a
+    streaming agg without full state).
+    """
+    stream = (
+        spark.readStream.schema(schema).parquet(events_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "n_users_approx")
+    )

@@ -1,0 +1,78 @@
+"""Streaming hourly rollup (availableNow vs batch) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from locus_spark.operators.multimodal import (
+    extract_media_features,
+    fake_decode_image,
+    frame_sample_plan,
+    real_decode_image,
+)
+from locus_spark.streaming import hourly_event_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_matches_batch_counts(spark, tmp_path):
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    stream_df = hourly_event_stream(spark, src)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.hour, r.event_type): r.n
+        for r in spark.table("hourly_test").collect()
+    }
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (i, "image" if i % 2 == 0 else "video", bytes([i % 256] * (50 + i)), 64, 64, 3500)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+
+
+def test_media_features_schema_and_determinism(spark, media):
+    out = extract_media_features(media)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,features:array<float>>"
+    )
+    rows = {r.media_id: r.features for r in out.collect()}
+    assert len(rows) == 20 and all(len(v) == 8 for v in rows.values())
+    expect = fake_decode_image(bytes([0] * 50))
+    assert np.allclose(rows[0], expect, rtol=1e-6)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\xff\xd8")
+
+
+def test_frame_sample_plan(spark, media):
+    out = frame_sample_plan(media, every_ms=1000)
+    counts = out.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)  # 0,1000,2000,3000 for 3500ms
