@@ -574,6 +574,160 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, ANN_K, n_planes=6, n_tables=8)
 
 
+_EMB_LDP = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_EMB_COS = (
+    f"{_EMB_LDP.format(a='a.embedding', b='b.embedding')}"
+    f" / (sqrt({_EMB_LDP.format(a='a.embedding', b='a.embedding')})"
+    f" * sqrt({_EMB_LDP.format(a='b.embedding', b='b.embedding')}))"
+)
+EMB_DUP_THRESHOLD = 0.35  # testdata embeddings have no planted dups (max cos ~0.51)
+
+_EMB_DUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_EMB_COS} >= {EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs form (the verifier
+    for the LSH-bucketed scale path in operators/ann.py)."""
+    from locus_spark.operators.ann import cosine_expr
+
+    derived.register_base_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_expr("va", "vb").alias("cos")
+    ).filter(F.col("cos") >= EMB_DUP_THRESHOLD)
+
+
+# ===========================================================================
+# multimodal plumbing (binary columns + typed metadata; decode kernels are
+# deterministic fakes — see operators/multimodal.py)
+# ===========================================================================
+
+#: deterministic media table derived from documents — shared SQL text so the
+#: frame-sample plan is oracle-checkable (payload column added Spark-side only
+#: where needed; DuckDB never sees it).
+MEDIA_META_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'video'
+            WHEN doc_id % 3 = 1 THEN 'image'
+            ELSE 'audio' END AS kind,
+       CAST(n_chars * 7 + 500 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH media AS ({MEDIA_META_SQL})
+SELECT media_id, CAST(ts AS BIGINT) AS frame_ts_ms
+FROM media, unnest(range(0, greatest(CAST(1 AS BIGINT), duration_ms), 1000)) AS t(ts)
+WHERE kind = 'video'
+"""
+
+
+@register("media_frame_sample", _FRAME_SAMPLE_ORACLE)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pure Column math; decode stubbed)."""
+    from locus_spark.operators.multimodal import frame_sample_plan
+
+    derived.register_base_tables(spark, sf_dir)
+    media = spark.sql(MEDIA_META_SQL).withColumn(
+        "duration_ms", F.col("duration_ms").cast("int")
+    )
+    out = frame_sample_plan(media, every_ms=1000)
+    return out.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+@register("media_features", None)  # Python decode kernel — rows-only check
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over opaque binary payloads."""
+    from locus_spark.operators.multimodal import extract_media_features
+
+    derived.register_base_tables(spark, sf_dir)
+    media = spark.sql(MEDIA_META_SQL).join(
+        spark.table("documents").select("doc_id", "text"),
+        F.col("media_id") == F.col("doc_id"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+    )
+    return extract_media_features(media)
+
+
+# ===========================================================================
+# pages pipeline (north-rule input shape: url, warc_ts, html, text, lang) —
+# synthesized deterministically (sources/synth.py), so these are rows-only
+# checks; the byte-identity invariant is asserted in tests/test_pages_pipeline.py
+# ===========================================================================
+
+PAGES_N = 20_000
+PAGES_GRID_RES = 6
+
+
+def _geocoded_pages(spark: SparkSession):
+    from locus_spark.extract import with_extracted_text
+    from locus_spark.geocode import geocode
+    from locus_spark.sources.synth import synth_pages
+
+    pages = synth_pages(spark, PAGES_N, partitions=8)
+    return geocode(with_extracted_text(pages))
+
+
+@register("pages_geotile_lang", None)  # synth source — rows-only check
+def q_pages_geotile_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pages pipeline: synth → extract → geocode → per-(tile, lang)
+    rollup.  The batch shape of the 10^12-row production job (jobs/run.py)."""
+    grid = GridSpec(-180.0, -90.0, 180.0, 90.0, PAGES_GRID_RES)
+    geo = _geocoded_pages(spark)
+    return (
+        geo.select(
+            grid.cell_x_col(F.col("x")).alias("tile_x"),
+            grid.cell_y_col(F.col("y")).alias("tile_y"),
+            "lang",
+        )
+        .groupBy("tile_x", "tile_y", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("pages_extract_identity", None)  # synth source — rows-only check
+def q_pages_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity audit: per-lang page counts vs rows where the vectorized
+    extractor reproduced the source text exactly (input_hint invariant)."""
+    geo = _geocoded_pages(spark)
+    return geo.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.sum((F.col("extracted") == F.col("text")).cast("long")).alias("n_identical"),
+    )
+
+
+@register("pages_knn", None)  # synth source — rows-only check
+def q_pages_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship production shape: exact kNN join over geocoded pages (probes =
+    a deterministic 1-in-200 url sample)."""
+    grid = GridSpec(-180.0, -90.0, 180.0, 90.0, PAGES_GRID_RES)
+    geo = _geocoded_pages(spark).select(
+        F.xxhash64("url").alias("id"), "x", "y"
+    )
+    probes = geo.filter(F.pmod(F.col("id"), F.lit(200)) == 0).select(
+        F.col("id").alias("qid"), "x", "y"
+    )
+    return knn_join(geo, probes, KNN_K, grid=grid)
+
+
+# ===========================================================================
+# streaming / events
+# ===========================================================================
+
 _EVENTS_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, count(DISTINCT user_id) AS n_users
