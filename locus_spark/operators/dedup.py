@@ -64,32 +64,59 @@ def _doc_shingles(documents: DataFrame, shingle: int = SHINGLE) -> DataFrame:
 
 def minhash_lsh_pairs(
     documents: DataFrame,
-    bands: int = DEFAULT_BANDS,
+    bands: int = 4,
+    rows_per_band: int = 2,
     shingle: int = SHINGLE,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs by MinHash LSH, verified with exact
-    shingle-set Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    """Near-duplicate candidate pairs by banded MinHash LSH, verified with
+    exact shingle-set Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Scale shape: shingling explodes ~L rows/doc; per-band minhash is a
+    Classic (b, r) banding: ``bands * rows_per_band`` independent minhash
+    permutations; a band's key is the concatenation of its ``r`` minhashes,
+    so a pair becomes a candidate with probability ``1-(1-j^r)^b`` — the
+    S-curve with midpoint ``(1/b)^(1/r)`` (0.5 at the 4x2 default).  r=1
+    degenerates to "any single minhash collides", which at web scale admits
+    a quadratic tail of low-jaccard candidate pairs and makes the exact
+    verify join the job's bottleneck; r>=2 suppresses that tail.
+
+    Scale shape: shingling explodes ~L rows/doc; per-permutation minhash is a
     map-side-combinable groupBy; the bucket self-join only pairs docs sharing
-    a (band, minhash) key — the classic LSH candidate bound — and the Jaccard
-    verify joins only candidate pairs' shingle sets.
+    a whole band key, and the Jaccard verify joins only candidate pairs'
+    shingle sets.
     """
+    n_perms = bands * rows_per_band
     sh = _doc_shingles(documents, shingle).cache()
     band_df = (
         sh.join(
             F.broadcast(
-                sh.sparkSession.range(bands).select(F.col("id").cast("int").alias("b"))
+                sh.sparkSession.range(n_perms).select(
+                    F.col("id").cast("int").alias("p")
+                )
             )
         )
         .select(
             "doc_id",
-            "b",
-            F.md5(F.concat(F.col("b").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+            (F.col("p") / rows_per_band).cast("int").alias("b"),
+            F.col("p"),
+            F.md5(
+                F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))
+            ).alias("h"),
         )
         .groupBy("doc_id", "b")
-        .agg(F.min("h").alias("mh"))
+        .agg(
+            F.concat(
+                *[
+                    # slot i's minhash = min h among rows of permutation
+                    # p = b*rows_per_band + i (map-side combinable)
+                    F.min(F.when(F.col("p") % rows_per_band == i, F.col("h")))
+                    for i in range(rows_per_band)
+                ]
+            ).alias("mh")
+        )
+        # the self-join below would otherwise recompute the whole
+        # shingle→hash→minhash subtree once per side
+        .cache()
     )
     a, c = band_df.alias("a"), band_df.alias("c")
     cand = (

@@ -411,9 +411,11 @@ WITH toks AS (
   FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
   WHERE len(ts) >= 3
 ), bands AS (
-  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh, unnest(range(0, 8)) AS bb(b)
-  GROUP BY doc_id, b
+  SELECT doc_id, p // 2 AS b,
+         min(CASE WHEN p % 2 = 0 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END)
+      || min(CASE WHEN p % 2 = 1 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END) AS mh
+  FROM sh, unnest(range(0, 8)) AS pp(p)
+  GROUP BY doc_id, p // 2
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
   FROM bands a JOIN bands c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
@@ -674,12 +676,10 @@ PAGES_GRID_RES = 6
 
 
 def _geocoded_pages(spark: SparkSession):
-    from locus_spark.extract import with_extracted_text
     from locus_spark.geocode import geocode
-    from locus_spark.sources.synth import synth_pages
+    from locus_spark.sources.synth import synth_pages_extracted
 
-    pages = synth_pages(spark, PAGES_N, partitions=8)
-    return geocode(with_extracted_text(pages))
+    return geocode(synth_pages_extracted(spark, PAGES_N, partitions=8))
 
 
 @register("pages_geotile_lang", None)  # synth source — rows-only check

@@ -57,27 +57,42 @@ def host_of(i: np.ndarray) -> np.ndarray:
     return np.where(hot, hot_host, cold_host)
 
 
+#: max words per page (n_words ∈ [5, 5+60))
+_MAX_WORDS = 65
+_LCG_MUL = np.uint64(6364136223846793005)
+_LCG_ADD = np.uint64(1442695040888963407)
+_WORDS_ARR = np.array(WORDS)
+
+
+def _texts_of(idx: np.ndarray) -> pd.Series:
+    """Vectorized body text: the same per-row LCG word walk as the original
+    scalar implementation (uint64 wraparound == Python int mod 2^64), but run
+    as _MAX_WORDS vector steps over the whole batch instead of a Python loop
+    per row — the synth hot path at 10^6+ rows/task."""
+    n_words = 5 + (_mix(idx, 5) % np.uint64(60)).astype(np.int64)
+    s = _mix(idx, 6)
+    picks = np.empty((len(idx), _MAX_WORDS), dtype=np.int64)
+    for w in range(_MAX_WORDS):  # 65 vector ops, not n_rows Python loops
+        s = s * _LCG_MUL + _LCG_ADD
+        picks[:, w] = ((s >> np.uint64(33)) % np.uint64(len(WORDS))).astype(np.int64)
+    words = _WORDS_ARR[picks]
+    return pd.Series(
+        [" ".join(row[:n]) for row, n in zip(words, n_words)], dtype="object"
+    )
+
+
 def _pages_batch(idx: np.ndarray) -> pd.DataFrame:
     host = host_of(idx)
     path = _mix(idx, 4)
-    urls = pd.Series(host).map(lambda h: f"https://host{h}.example/") + pd.Series(
-        path
-    ).map(lambda p: f"{p:016x}")
+    urls = pd.Series(
+        [f"https://host{h}.example/{p:016x}" for h, p in zip(host, path)],
+        dtype="object",
+    )
     ts = pd.to_datetime(
         EPOCH_NS + (idx.astype(np.int64) % 86_400) * 10**9, utc=True
     ).tz_localize(None)
     lang = pd.Series(idx % len(LANGS)).map(lambda j: LANGS[j])
-    n_words = 5 + (_mix(idx, 5) % np.uint64(60)).astype(np.int64)
-    word_seed = _mix(idx, 6)
-    texts = []
-    for seed, n in zip(word_seed, n_words):
-        s = int(seed)
-        toks = []
-        for _ in range(int(n)):
-            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            toks.append(WORDS[(s >> 33) % len(WORDS)])
-        texts.append(" ".join(toks))
-    text = pd.Series(texts)
+    text = _texts_of(idx)
     # invertible wrapping: extract_text(html) == text byte-identically
     # (the per-row invariant the test suite asserts)
     html = ("<html><body><p>" + text + "</p></body></html>").map(
@@ -98,4 +113,29 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int = 32) -> DataF
     return (
         spark.range(0, n_rows, numPartitions=partitions)
         .mapInPandas(gen, PAGES_SCHEMA)
+    )
+
+
+def synth_pages_extracted(
+    spark: SparkSession, n_rows: int, partitions: int = 32
+) -> DataFrame:
+    """Pages + ``extracted`` column in ONE ``mapInPandas`` hop.
+
+    Chaining ``synth_pages`` → ``with_extracted_text`` costs a second Python
+    stage per task (two workers per core at full parallelism — it halves
+    effective throughput at local[4N] and distorts the two-cluster-size
+    scaling evidence).  This fused generator applies the very same
+    ``extract_text`` function (byte-identity preserved) inside the synth
+    batch loop, so each task owns exactly one Python worker."""
+    from locus_spark.extract import extract_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = _pages_batch(b["id"].to_numpy())
+            out["extracted"] = out["html"].map(extract_text)
+            yield out
+
+    return (
+        spark.range(0, n_rows, numPartitions=partitions)
+        .mapInPandas(gen, PAGES_SCHEMA + ", extracted string")
     )
