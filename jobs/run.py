@@ -45,7 +45,11 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
     ap.add_argument("--checkpoint", default="/tmp/locus_spark_ck")
-    ap.add_argument("--resolution", type=int, default=7)
+    # resolution 10 (1024x1024 cells): at resolution 7 the 5 hot hosts put
+    # ~400k points in single cells, and kNN candidate generation for probes
+    # in those cells exploded to ~10^8 rows (a 1000 s local sort+spill);
+    # finer cells bound per-cell occupancy so the ring join stays ~10^6 rows
+    ap.add_argument("--resolution", type=int, default=10)
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--probes", type=int, default=2000)
     ap.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
@@ -101,7 +105,7 @@ def main() -> None:
         clustered = cluster_by_hilbert(
             geo.select("id", "x", "y"), grid, num_partitions=parts
         )
-        hot = hot_cells(clustered, factor=8.0, min_rows=5000)
+        hot = hot_cells(clustered, factor=8.0, min_rows=1000)
         if hot:
             clustered = salted_repartition(
                 clustered, hot=hot, buckets=8, id_col="id", num_partitions=parts

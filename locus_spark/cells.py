@@ -122,17 +122,42 @@ class GridSpec:
         )
 
 
+#: auto-resolution target: mean points per cell.  Hot-cell occupancy is what
+#: bounds candidate-join fan-out, so the mean is chosen low; skew beyond it
+#: is handled by salting + the ring planner's per-round top-k.
+TARGET_CELL_OCCUPANCY = 16
+
+
+def resolution_for(n_rows: int, target: int = TARGET_CELL_OCCUPANCY) -> int:
+    """Bits per axis such that ``4^res ≈ n_rows / target`` — scales from
+    2^4 cells/axis at 10^4 rows to 2^16 (the reference's own grid,
+    ``/root/reference/locus/_core/hilbert.py:3``) around 10^11 rows."""
+    res = 2
+    while (1 << (2 * res)) * target < n_rows and res < 16:
+        res += 1
+    return max(res, 4)
+
+
 def grid_from_points(
-    df: DataFrame, x: str = "x", y: str = "y", resolution: int = DEFAULT_RESOLUTION
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    resolution: int | None = DEFAULT_RESOLUTION,
 ) -> GridSpec:
     """Derive the grid from data bounds — one cheap agg job (the reference's
-    root-box reduce, ``/root/reference/locus/_core/r.py:103``)."""
+    root-box reduce, ``/root/reference/locus/_core/r.py:103``).
+
+    ``resolution=None`` picks it from the row count (same agg pass), keeping
+    mean cell occupancy near :data:`TARGET_CELL_OCCUPANCY` at any scale."""
     row = df.agg(
         F.min(x).alias("mnx"), F.max(x).alias("mxx"),
         F.min(y).alias("mny"), F.max(y).alias("mxy"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if row["mnx"] is None:
         raise ValueError("grid_from_points: empty input")
+    if resolution is None:
+        resolution = resolution_for(row["n"])
     return GridSpec(row["mnx"], row["mny"], row["mxx"], row["mxy"], resolution)
 
 

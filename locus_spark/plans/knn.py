@@ -26,12 +26,18 @@ annuli; rounds therefore dedup on (qid, id) before the top-k window.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from locus_spark.cells import GridSpec
+
+#: set LOCUS_KNN_DEBUG=1 to print per-round ring/unsettled diagnostics
+_DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
@@ -182,12 +188,20 @@ def generic_knn_join(
         settled = all_exhausted | F.coalesce(
             (F.col("_cnt") >= k) & (F.col("_kth") <= bound * bound), F.lit(False)
         )
+        t0 = time.monotonic() if _DEBUG else 0.0
         unsettled = (
             unsettled.join(stats, "qid", "left")
             .filter(~settled)
             .select(*probes.columns)
             .localCheckpoint()
         )
+        if _DEBUG:
+            print(
+                f"[knn] ring [{lo},{hi}] -> unsettled={unsettled.count()}"
+                f" (round {time.monotonic() - t0:.1f}s settle-check)",
+                file=sys.stderr,
+                flush=True,
+            )
         if unsettled.isEmpty():
             break
         lo, step = hi + 1, step * 2

@@ -60,6 +60,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode shares one JVM between driver and executor: under full
+        # CPU saturation the heartbeat thread can starve for minutes, and the
+        # default 120 s timeout then kills the executor mid-job (seen in the
+        # kNN ring loop at local[4] with every core busy).
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "1200s")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
