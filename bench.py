@@ -42,6 +42,9 @@ HEADLINE = [
     "doc_lang_id",
     "ann_cosine_topk",
     "events_hourly",
+    "media_frame_sample",
+    "pages_geotile_lang",
+    "pages_knn",
 ]
 
 

@@ -133,7 +133,12 @@ def main() -> None:
         n_out = build_query().count()
         return n_out, time.monotonic() - t0
 
-    qboxes = probes.limit(500).select(
+    # deterministic 500-ish probe subset — limit() would pick whatever rows
+    # arrive first and differ across parallelism levels
+    probes_small = probes.filter(
+        F.pmod(F.xxhash64(F.col("qid"), F.lit(7)), F.lit(max(1, n_probes // 500))) == 0
+    )
+    qboxes = probes_small.select(
         F.col("qid"),
         (F.col("x") - 2.0).alias("min_x"), (F.col("x") + 2.0).alias("max_x"),
         (F.col("y") - 1.0).alias("min_y"), (F.col("y") + 1.0).alias("max_y"),
@@ -142,7 +147,7 @@ def main() -> None:
     metrics["box_join_result_rows"] = n_box
     metrics["box_join_rows_per_s"] = round(n_geo / dt, 1)
 
-    qcircles = probes.limit(500).select("qid", "x", "y", F.lit(1.5).alias("r"))
+    qcircles = probes_small.select("qid", "x", "y", F.lit(1.5).alias("r"))
     n_ball, dt = timed(lambda: find_ball_join(points, qcircles, grid=grid))
     metrics["ball_join_result_rows"] = n_ball
     metrics["ball_join_rows_per_s"] = round(n_geo / dt, 1)

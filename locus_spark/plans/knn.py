@@ -70,9 +70,19 @@ def probe_frame(
     )
 
 
-def _annulus_cells(probes: DataFrame, grid: GridSpec, lo: int, hi: int) -> DataFrame:
+def _annulus_cells(
+    probes: DataFrame, grid: GridSpec, lo: int, hi: int, margin: float = 0.0
+) -> DataFrame:
     """(probe, cell) pairs for cells whose Chebyshev distance to the probe's
-    cell-rectangle lies in [lo, hi], clipped to the grid."""
+    cell-rectangle lies in [lo, hi], clipped to the grid.
+
+    When the probe row carries a ``_cap`` column (the running k-th-best
+    squared distance from earlier rounds), cells whose squared distance to
+    the probe's bbox exceeds the cap are pruned — the distributed form of
+    the reference's branch-and-bound bound (``/root/reference/locus/kd.py:368``,
+    ``r.py:592-606``): an already-found k-th neighbor caps how far the search
+    ever needs to look, which keeps fringe probes from dragging whole dense
+    cells through later rounds."""
     n = grid.n
     cx0 = F.greatest(F.lit(0), F.col("_bcx0") - F.lit(hi))
     cx1 = F.least(F.lit(n - 1), F.col("_bcx1") + F.lit(hi))
@@ -88,7 +98,89 @@ def _annulus_cells(probes: DataFrame, grid: GridSpec, lo: int, hi: int) -> DataF
             F.greatest(F.col("_bcy0") - F.col("_cy"), F.col("_cy") - F.col("_bcy1"), F.lit(0)),
         )
         out = out.filter(dist_rect >= F.lit(lo))
+    if "_cap" in probes.columns:
+        # squared coordinate distance from the probe bbox to the cell rect
+        cell_x0 = F.lit(grid.min_x) + F.col("_cx") * F.lit(grid.cell_w)
+        cell_x1 = cell_x0 + F.lit(grid.cell_w)
+        cell_y0 = F.lit(grid.min_y) + F.col("_cy") * F.lit(grid.cell_h)
+        cell_y1 = cell_y0 + F.lit(grid.cell_h)
+        dx = F.greatest(F.lit(0.0), cell_x0 - F.col("_sx1"), F.col("_sx0") - cell_x1)
+        dy = F.greatest(F.lit(0.0), cell_y0 - F.col("_sy1"), F.col("_sy0") - cell_y1)
+        d2_cell = (F.greatest(F.lit(0.0), dx - F.lit(margin)) ** 2
+                   + F.greatest(F.lit(0.0), dy - F.lit(margin)) ** 2)
+        out = out.filter(F.col("_cap").isNull() | (d2_cell <= F.col("_cap")))
     return out
+
+
+def _cogroup_topk(
+    target_cells: DataFrame,
+    ann: DataFrame,
+    k: int,
+    local_dist2: Callable,
+    tie_desc_id: bool,
+    probe_out: list[str],
+    target_out: list[str],
+) -> DataFrame:
+    """Per-cell local top-k: candidates never materialize as JVM rows.
+
+    The naive round evaluator (broadcast-join every (probe, annulus-cell)
+    pair against the cell's targets, then window) materializes |cell| rows
+    PER covering probe; with skewed data a fringe probe next to a hot cell
+    drags the whole cell through the window's sort — measured 2.6·10^8 rows
+    and a >600 s spill for 4k probes over 16M points.  Here targets are
+    cogrouped with the probe-annulus pairs BY CELL and a vectorized numpy
+    kernel emits only the k best rows per (probe, cell), so the downstream
+    global window sees ≤ k·cells_per_probe rows per probe.  This is the
+    distributed analogue of the reference's per-node bounded heap
+    (/root/reference/locus/kd.py:227-237).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ann = ann.select(*probe_out, "_cx", "_cy")
+    cells = ann.select("_cx", "_cy").distinct()
+    tsub = target_cells.join(F.broadcast(cells), ["_cx", "_cy"])
+    a_fields = {f.name: f for f in ann.schema.fields}
+    t_fields = {f.name: f for f in target_cells.schema.fields}
+    out_schema = StructType(
+        [a_fields[c] for c in probe_out]
+        + [t_fields[c] for c in target_out]
+        + [StructField("dist2", DoubleType())]
+    )
+    out_names = [*probe_out, *target_out, "dist2"]
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: targets in this cell; right: probes whose annulus covers it
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in out_names})
+        tie = left["id"].to_numpy()
+        order = np.argsort(-tie if tie_desc_id else tie, kind="stable")
+        left = left.iloc[order].reset_index(drop=True)
+        nt = len(left)
+        k_eff = min(k, nt)
+        target_arrs = {c: left[c].to_numpy() for c in target_out}
+        chunks = []
+        # bound the distance-matrix footprint (~400 MB of float64)
+        chunk = max(1, 50_000_000 // nt)
+        for s in range(0, len(right), chunk):
+            rp = right.iloc[s : s + chunk]
+            d2 = local_dist2(left, rp)  # (nt, n_probes) float64
+            # rows are pre-sorted by the tie key, so a stable argsort on
+            # dist2 realizes the exact (dist2, tie) order incl. duplicates
+            sel = np.argsort(d2, axis=0, kind="stable")[:k_eff]
+            block = {
+                c: np.repeat(rp[c].to_numpy()[None, :], k_eff, axis=0).ravel()
+                for c in probe_out
+            }
+            for c in target_out:
+                block[c] = target_arrs[c][sel].ravel()
+            block["dist2"] = np.take_along_axis(d2, sel, axis=0).ravel()
+            chunks.append(pd.DataFrame(block))
+        return pd.concat(chunks, ignore_index=True)
+
+    grouped = tsub.groupBy("_cx", "_cy").cogroup(ann.groupBy("_cx", "_cy"))
+    return grouped.applyInPandas(fn, out_schema)
 
 
 def generic_knn_join(
@@ -101,6 +193,7 @@ def generic_knn_join(
     tie_desc_id: bool = False,
     dedup: bool = False,
     max_rounds: int = 64,
+    local_dist2: Callable | None = None,
 ) -> DataFrame:
     """Exact top-k join.
 
@@ -147,12 +240,21 @@ def generic_knn_join(
     lo, step = 0, 1
     for _ in range(max_rounds):
         hi = lo + step - 1
-        cand = (
-            F.broadcast(_annulus_cells(unsettled, grid, lo, hi))
-            .join(target_cells, ["_cx", "_cy"])
-            .drop("_cx", "_cy")
-            .withColumn("dist2", dist2)
-        )
+        t_round = time.monotonic() if _DEBUG else 0.0
+        ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
+        if local_dist2 is not None:
+            cand = _cogroup_topk(
+                target_cells, ann, k, local_dist2, tie_desc_id,
+                [c for c in probe_payload if c not in PROBE_BBOX_COLS],
+                target_payload,
+            )
+        else:
+            cand = (
+                F.broadcast(ann)
+                .join(target_cells, ["_cx", "_cy"])
+                .withColumn("dist2", dist2)
+                .select(*out_cols)
+            )
         best = cand if best is None else best.unionByName(cand)
         if dedup:
             # a multi-cell target may surface through several cells/rounds
@@ -163,6 +265,12 @@ def generic_knn_join(
             .drop("_rn")
             .localCheckpoint()
         )
+        if _DEBUG:
+            print(
+                f"[knn] ring [{lo},{hi}] topk-join {time.monotonic() - t_round:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
         stats = best.groupBy("qid").agg(
             F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
@@ -192,7 +300,12 @@ def generic_knn_join(
         unsettled = (
             unsettled.join(stats, "qid", "left")
             .filter(~settled)
-            .select(*probes.columns)
+            .select(
+                *probes.columns,
+                # carry the k-th-best dist² forward as the next round's
+                # branch-and-bound cap (null while fewer than k found)
+                F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
+            )
             .localCheckpoint()
         )
         if _DEBUG:
