@@ -81,9 +81,19 @@ def segment_knn_to_point_join(
         payload=["_qx", "_qy"],
     )
     d2 = F.expr(sql_dist2_point_segment("_qx", "_qy", "x1", "y1", "x2", "y2"))
+
+    def local_d2(t, q):
+        from locus_spark.functions.metrics import np_dist2_point_segment
+
+        return np_dist2_point_segment(
+            q["_qx"].to_numpy()[None, :], q["_qy"].to_numpy()[None, :],
+            t["x1"].to_numpy()[:, None], t["y1"].to_numpy()[:, None],
+            t["x2"].to_numpy()[:, None], t["y2"].to_numpy()[:, None],
+        )
+
     out = generic_knn_join(
         segs, _seg_cells(segments, grid), pr, k, grid, d2,
-        tie_desc_id=False, dedup=True, max_rounds=max_rounds,
+        tie_desc_id=False, dedup=True, max_rounds=max_rounds, local_dist2=local_d2,
     )
     return out.select("qid", *SEG_COLS, "dist2", "rn")
 
@@ -125,9 +135,20 @@ def segment_knn_join(
             "_qx1", "_qy1", "_qx2", "_qy2", "x1", "y1", "x2", "y2"
         )
     )
+
+    def local_d2(t, q):
+        from locus_spark.functions.metrics import np_dist2_segment_segment
+
+        return np_dist2_segment_segment(
+            q["_qx1"].to_numpy()[None, :], q["_qy1"].to_numpy()[None, :],
+            q["_qx2"].to_numpy()[None, :], q["_qy2"].to_numpy()[None, :],
+            t["x1"].to_numpy()[:, None], t["y1"].to_numpy()[:, None],
+            t["x2"].to_numpy()[:, None], t["y2"].to_numpy()[:, None],
+        )
+
     out = generic_knn_join(
         segs, _seg_cells(segments, grid), pr, k, grid, d2,
-        tie_desc_id=False, dedup=True, max_rounds=max_rounds,
+        tie_desc_id=False, dedup=True, max_rounds=max_rounds, local_dist2=local_d2,
     )
     return out.select("qid", *SEG_COLS, "dist2", "rn")
 

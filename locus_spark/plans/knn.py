@@ -161,8 +161,10 @@ def _cogroup_topk(
         k_eff = min(k, nt)
         target_arrs = {c: left[c].to_numpy() for c in target_out}
         chunks = []
-        # bound the distance-matrix footprint (~400 MB of float64)
-        chunk = max(1, 50_000_000 // nt)
+        # bound the distance-matrix footprint: metrics allocate up to ~15
+        # (nt x nq) float64 temporaries (segment-segment), so cap entries
+        # per chunk at 8M (~64 MB/array)
+        chunk = max(1, 8_000_000 // nt)
         for s in range(0, len(right), chunk):
             rp = right.iloc[s : s + chunk]
             d2 = local_dist2(left, rp)  # (nt, n_probes) float64
