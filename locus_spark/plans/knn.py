@@ -39,6 +39,11 @@ from locus_spark.cells import GridSpec
 #: set LOCUS_KNN_DEBUG=1 to print per-round ring/unsettled diagnostics
 _DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 
+#: below this target count the plain broadcast-join + window round evaluator
+#: wins: the cogrouped kernel costs two extra shuffles + an Arrow hop per
+#: round, which dominates when the whole target side fits a few partitions.
+LOCAL_TOPK_MIN_TARGETS = 100_000
+
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
 PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
@@ -244,7 +249,7 @@ def generic_knn_join(
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
         ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
-        if local_dist2 is not None:
+        if local_dist2 is not None and n_targets >= LOCAL_TOPK_MIN_TARGETS:
             cand = _cogroup_topk(
                 target_cells, ann, k, local_dist2, tie_desc_id,
                 [c for c in probe_payload if c not in PROBE_BBOX_COLS],

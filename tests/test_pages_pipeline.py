@@ -51,6 +51,20 @@ def test_extract_byte_identity(spark):
         assert r.extracted.encode() == r.text.encode()  # and invertible wrapping
 
 
+def test_fused_synth_extract_matches_two_stage(spark):
+    """The single-Python-hop production path (synth_pages_extracted) must be
+    row-identical to synth_pages → with_extracted_text."""
+    from locus_spark.sources.synth import synth_pages_extracted
+
+    fused = synth_pages_extracted(spark, 400, partitions=3).orderBy("url").collect()
+    two = (
+        with_extracted_text(synth_pages(spark, 400, partitions=5))
+        .orderBy("url")
+        .collect()
+    )
+    assert fused == two
+
+
 def test_extract_handles_entities_scripts():
     assert extract_text(b"<p>a &amp; b</p>") == "a & b"
     assert extract_text(b"<script>var x=1;</script>hi") == "hi"

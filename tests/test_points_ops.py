@@ -89,6 +89,31 @@ def test_nearest_duplicate_points_tie_by_id(spark):
     assert len(got) == 1 and got[0].id == 0 and got[0].dist2 == 0.0
 
 
+def test_knn_hot_cluster_skew(spark):
+    """Regression for the hot-cell candidate explosion: half the points in one
+    dense cluster, probes both inside and on the fringe — the cap-pruned
+    cogroup path must still return the exact brute-force top-k."""
+    rng = np.random.RandomState(7)
+    hot = rng.uniform(-1.0, 1.0, size=(400, 2))
+    cold = rng.uniform(-100.0, 100.0, size=(400, 2))
+    pts = [tuple(map(float, p)) for p in np.vstack([hot, cold])]
+    probes = [tuple(map(float, p)) for p in np.vstack([
+        rng.uniform(-1.0, 1.0, size=(5, 2)),       # inside the hot cluster
+        rng.uniform(1.5, 3.0, size=(5, 2)),        # fringe next to it
+        rng.uniform(-100.0, 100.0, size=(5, 2)),   # sparse region
+    ])]
+    grid = GridSpec(-100.0, -100.0, 100.0, 100.0, 6)
+    got = knn_join(_points_df(spark, pts), _probes_df(spark, probes), 3, grid=grid).collect()
+    want = _brute_knn(pts, probes, 3)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rn, r.dist2, r.id))
+    assert set(by_q) == set(want)
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [(d, i) for _, d, i in rows] == want[qid]
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(st.tuples(coord, coord), min_size=1, max_size=80),
