@@ -278,6 +278,19 @@ def seg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_knn_join(s, qs, KNN_K, grid=WORLD_GRID)
 
 
+@register(
+    "seg_nearest",
+    _knn_oracle("segments", "query_segments", _SEG_OUT, _D2_SS, 1, rn=False),
+)
+def seg_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 nearest_item, segment→segment (/root/reference/locus/segmental.py:477-529)."""
+    from locus_spark.operators.segments import segment_nearest_join
+
+    s = derived.load(spark, sf_dir, "segments")
+    qs = derived.load(spark, sf_dir, "query_segments")
+    return segment_nearest_join(s, qs, grid=WORLD_GRID)
+
+
 # ===========================================================================
 # tiling queries (north rule: tile assignment, point-in-polygon, raster↔vector)
 # ===========================================================================
@@ -734,6 +747,36 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_ORACLE)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form; the streaming form is the
+    applyInPandasWithState operator in locus_spark/streaming/sessionize.py."""
+    from locus_spark.streaming.sessionize import sessionize_batch
+
+    derived.register_base_tables(spark, sf_dir)
+    return sessionize_batch(spark.table("events"), gap_s=1800)
 
 
 @register("events_hourly", _EVENTS_ORACLE)

@@ -72,6 +72,43 @@ def test_real_decoder_is_stubbed():
         real_decode_image(b"\xff\xd8")
 
 
+def test_sessionize_stateful_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions closed by
+    an inactivity gap inside the batch are emitted; the open tail session
+    stays in state."""
+    import datetime as dt
+
+    from locus_spark.streaming.sessionize import sessionize_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 3 events tight, then a 2h gap -> closed session of 3
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)), (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(hours=2, minutes=10)),
+        # user 2: 1 event, 1h gap, 2 events -> closed session of 1
+        (2, t0), (2, t0 + dt.timedelta(hours=1)),
+        (2, t0 + dt.timedelta(hours=1, minutes=1)),
+    ]
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events): (r.session_start, r.session_end)
+        for r in spark.table("sessions_test").collect()
+    }
+    assert (1, 3) in got and got[(1, 3)] == (t0, t0 + dt.timedelta(minutes=10))
+    assert (2, 1) in got and got[(2, 1)] == (t0, t0)
+
+
 def test_frame_sample_plan(spark, media):
     out = frame_sample_plan(media, every_ms=1000)
     counts = out.groupBy("media_id").count().collect()
