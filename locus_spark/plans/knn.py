@@ -41,8 +41,10 @@ _DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 
 #: below this target count the plain broadcast-join + window round evaluator
 #: wins: the cogrouped kernel costs two extra shuffles + an Arrow hop per
-#: round, which dominates when the whole target side fits a few partitions.
-LOCAL_TOPK_MIN_TARGETS = 100_000
+#: round, which dominates when the whole target side fits a few partitions
+#: (measured crossover on 32 cores: broadcast 2x faster at 150k-800k targets,
+#: cogroup 12x faster at 16M skewed targets).
+LOCAL_TOPK_MIN_TARGETS = 2_000_000
 
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.

@@ -142,10 +142,19 @@ DERIVED = {
 }
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver's parquet tables as temp views."""
+    """Register the driver's parquet tables as temp views (memoized per
+    session+dir — every registry query calls this, and re-reading 10 parquet
+    footers per query is pure overhead)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _REGISTERED:
+        return
     for name in TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+    _REGISTERED.add(key)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
