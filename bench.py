@@ -57,6 +57,13 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     registry = q.queries()
+    # warm the session (codegen, parquet reader, Python workers) so the first
+    # measured query doesn't absorb one-time JVM startup costs
+    from locus_spark.sources.derived import register_base_tables
+
+    register_base_tables(spark, sf_dir)
+    spark.table("region").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
     results: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
