@@ -38,9 +38,13 @@ HEADLINE = [
     "raster_vector",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
     "doc_token_stats",
     "doc_lang_id",
     "ann_cosine_topk",
+    "media_features",
+    "kd_knn_persisted",
     "events_hourly",
     "media_frame_sample",
     "pages_geotile_lang",
@@ -83,6 +87,9 @@ def main() -> None:
                 "sf": float(sf),
                 "rows": rows,
                 "cores": int(cpus),
+                # session is pre-warmed before timing; numbers are
+                # steady-state, not cold-start (see BENCH.md)
+                "timing": "warm_session_single_run",
             }
         )
     )

@@ -163,6 +163,10 @@ def main() -> None:
         "probes": n_probes,
         "cores": args.cores,
         "resolution": args.resolution,
+        # query stages report the warm SECOND execution (see timed());
+        # this marker travels with the JSON so downstream consumers
+        # (tools/bench_scaling.py, BENCH.md) can't misread it as cold-run
+        "timing": "warm_second_run",
         **metrics,
     }
     print(json.dumps(out))

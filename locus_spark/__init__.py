@@ -21,6 +21,7 @@ Design (Spark-first, NOT a port):
   expressions (JVM codegen) — Python only in vectorized Arrow/pandas UDFs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from locus_spark.index import BoxIndex, PointIndex, SegmentIndex  # noqa: F401
 from locus_spark.session import get_spark  # noqa: F401

@@ -143,12 +143,15 @@ def grid_from_points(
     x: str = "x",
     y: str = "y",
     resolution: int | None = DEFAULT_RESOLUTION,
+    target: int = TARGET_CELL_OCCUPANCY,
 ) -> GridSpec:
     """Derive the grid from data bounds — one cheap agg job (the reference's
     root-box reduce, ``/root/reference/locus/_core/r.py:103``).
 
     ``resolution=None`` picks it from the row count (same agg pass), keeping
-    mean cell occupancy near :data:`TARGET_CELL_OCCUPANCY` at any scale."""
+    mean cell occupancy near ``target`` at any scale — the engine's analogue
+    of the reference's ``max_children`` packing knob
+    (``/root/reference/locus/r.py:37``)."""
     row = df.agg(
         F.min(x).alias("mnx"), F.max(x).alias("mxx"),
         F.min(y).alias("mny"), F.max(y).alias("mxy"),
@@ -157,7 +160,7 @@ def grid_from_points(
     if row["mnx"] is None:
         raise ValueError("grid_from_points: empty input")
     if resolution is None:
-        resolution = resolution_for(row["n"])
+        resolution = resolution_for(row["n"], target=target)
     return GridSpec(row["mnx"], row["mny"], row["mxx"], row["mxy"], resolution)
 
 

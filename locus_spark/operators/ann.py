@@ -67,9 +67,8 @@ def _bucket_col(vec: str, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id against the fixed hyperplanes — pure Column math."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
+        # built via expr to keep one codegen expression per plane
         d = F.expr(_DOT.format(a=vec, b=f"array({', '.join(repr(v) for v in plane)})"))
-        # build via expr to keep one codegen expression per plane
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return bucket
 

@@ -10,10 +10,10 @@ standard large-scale dedup family expressed Spark-first:
                    minhash) → band-bucket self-join → exact Jaccard verify.
                    All set algebra happens on (doc, shingle) rows — joins and
                    groupBys, no UDFs;
-* SimHash        — 64-bit fingerprint via a vectorized Arrow pandas UDF
-                   (bit-twiddling is the one thing Columns don't do well);
-                   near-dup = fingerprints at small Hamming distance, found by
-                   banding the fingerprint into 4 × 16-bit keys.
+* SimHash        — 64-bit fingerprint as a pure relational plan (distinct
+                   tokens → md5 halves → 64 per-bit vote aggregates), fully
+                   whole-stage-codegen'd; near-dup = fingerprints at small
+                   Hamming distance, found by banding into 4 × 16-bit keys.
 
 Tokenization contract (shared with the DuckDB oracles): split on single
 spaces, drop empty tokens, 1-indexed element access.
@@ -21,12 +21,8 @@ spaces, drop empty tokens, 1-indexed element access.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 DEFAULT_BANDS = 8
 SHINGLE = 3
@@ -84,9 +80,26 @@ def minhash_lsh_pairs(
     map-side-combinable groupBy; the bucket self-join only pairs docs sharing
     a whole band key, and the Jaccard verify joins only candidate pairs'
     shingle sets.
+
+    Exact duplicates are grouped FIRST and only one representative per
+    distinct text is banded: identical texts share every band key, so banding
+    them all makes the bucket self-join quadratic within each duplicate
+    cluster (the r1 skew hazard).  Representative pairs are expanded back
+    through the groups afterwards, and within-group pairs get jaccard 1.0
+    directly — output is identical to banding everything, minus the O(dups²)
+    band-join blowup.
     """
     n_perms = bands * rows_per_band
-    sh = _doc_shingles(documents, shingle).cache()
+    members = documents.select(F.md5("text").alias("_fp"), "doc_id").cache()
+    reps = (
+        documents.select(F.md5("text").alias("_fp"), "doc_id", "text")
+        .groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    sh = _doc_shingles(reps.select("doc_id", "text"), shingle).cache()
     band_df = (
         sh.join(
             F.broadcast(
@@ -138,7 +151,7 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    out = (
+    rep_pairs = (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
         .select(
@@ -150,49 +163,173 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
+    # expand representative pairs back through the duplicate groups: every
+    # member-of-A × member-of-B pair has the same shingle sets, hence the
+    # same jaccard
+    rep_fp = reps.select(F.col("doc_id").alias("_rid"), "_fp")
+    cross = (
+        rep_pairs
+        .join(
+            rep_fp.select(F.col("_rid").alias("id_a"), F.col("_fp").alias("_fp_a")),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(F.col("_rid").alias("id_b"), F.col("_fp").alias("_fp_b")),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_a"), F.col("doc_id").alias("_da")),
+            "_fp_a",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_b"), F.col("doc_id").alias("_db")),
+            "_fp_b",
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs are exact dups (jaccard 1.0 == n/(n+n-n) exactly) —
+    # but only for groups whose text actually shingles (< shingle tokens →
+    # no bands → never candidates in the unbatched form)
+    shingled_fps = rep_fp.join(
+        sh.select(F.col("doc_id").alias("_rid")).distinct(), "_rid"
+    ).select("_fp")
+    within = (
+        members.select("_fp", F.col("doc_id").alias("_da"))
+        .join(members.select("_fp", F.col("doc_id").alias("_db")), "_fp")
+        .filter(F.col("_da") < F.col("_db"))
+        .join(shingled_fps, "_fp", "left_semi")
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(within)
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
 
 
 # --------------------------------------------------------------------------
-# SimHash (vectorized Arrow UDF — no oracle; verified by pytest properties)
+# SimHash — a pure relational plan (whole-stage codegen, no Python at all):
+# distinct tokens explode → md5 split into two 32-bit halves (JVM) → 64
+# per-bit vote aggregates (map-side combinable) → fingerprint assembly.
+# Integer-exact end to end, so the whole pipeline is DuckDB-oracle-checkable
+# (simhash_oracle_sql below emits the equivalent SQL).
 # --------------------------------------------------------------------------
 
-@pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over space-split tokens.  Vectorized per Arrow batch:
-    token hashing via numpy's bit-mixing of md5 digests would need Python
-    loops, so we use a splitmix-style integer mix over token byte sums —
-    deterministic, batch-local, no per-row Python beyond the tokenizer."""
-    import hashlib
+#: signed-long value of bit j (bit 63 is the sign bit)
+_BIT_VALUE = [1 << j for j in range(63)] + [-(1 << 63)]
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):  # per-doc loop, token math vectorized
-        toks = [w for w in (t or "").split(" ") if w]
-        if not toks:
-            continue
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for w in set(toks)
-            ],
-            dtype=np.uint64,
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp): 64-bit SimHash over the doc's *distinct* space-split
+    tokens.  Token hash = first 16 hex chars of md5, handled as two non-
+    negative 32-bit halves (hi = bits 32..63, lo = bits 0..31) so all bit
+    extraction is plain long arithmetic.  Docs with no tokens get fp = 0.
+
+    Scale shape: one explode (~tokens rows/doc), one groupBy(doc_id) with 64
+    integer sums — partial aggregation does the heavy lifting; no row
+    blowup beyond the token explode and no Python workers."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.col("hi") if j >= 32 else F.col("lo"), j % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        term = (
+            F.when(F.col(f"v{j}") > 0, F.lit(_BIT_VALUE[j]).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes = np.where(bits == 1, 1, -1).sum(axis=0)
-        fp = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(fp.astype(np.int64))
-    return pd.Series(out)
+        fp = term if fp is None else fp + term
+    fps = votes.select("doc_id", fp.alias("fp"))
+    return (
+        documents.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select("doc_id", F.coalesce("fp", F.lit(0).cast("long")).alias("fp"))
+    )
+
+
+def simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB SQL equivalent of simhash_near_dups over the ``documents``
+    view — same tokenization, same md5-half token hash, same votes, same
+    banding; everything integer, so results match Spark bit-for-bit."""
+
+    def bit(j: int) -> str:
+        col = "hi" if j >= 32 else "lo"
+        return f"({col} // {1 << (j % 32)}) % 2"
+
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(64)
+    )
+    terms = "\n       + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({_BIT_VALUE[j]} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS tok
+  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+), v AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+), fpx AS (
+  SELECT doc_id, {terms} AS fp FROM v
+), fps AS (
+  SELECT d.doc_id AS doc_id, coalesce(f.fp, 0) AS fp
+  FROM documents d LEFT JOIN fpx f ON d.doc_id = f.doc_id
+), banded AS (
+  SELECT doc_id, fp, b, (fp >> (16 * CAST(b AS INT))) & 65535 AS key
+  FROM fps, unnest([0, 1, 2, 3]) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.fp AS fp_a, c.fp AS fp_b
+  FROM banded a JOIN banded c
+    ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+"""
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash banding: fingerprints split into 4 16-bit
     bands; pairs sharing a band are verified with exact popcount Hamming
     distance.  Returns (id_a, id_b, hamming)."""
-    fps = documents.select("doc_id", simhash64(F.col("text")).alias("fp"))
+    fps = simhash_fingerprints(documents)
     banded = fps.select(
         "doc_id",
         "fp",

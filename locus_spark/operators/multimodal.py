@@ -51,6 +51,32 @@ def real_decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
     )
 
 
+def fake_decode_stats(payload: bytes) -> np.ndarray:
+    """Oracle-checkable stand-in decoder: FEATURE_DIM byte statistics, each an
+    exact-integer ratio (sum/len, count/len, ...).  Integer sums below 2^53
+    are exact in float64 and IEEE division is correctly rounded, so a SQL
+    engine computing the same sums gets bit-identical doubles — this is what
+    lets the driver verify the mapInPandas plumbing against DuckDB."""
+    if not payload:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    n = len(arr)
+    half = n // 2
+    return np.array(
+        [
+            arr.sum() / n,                                    # mean
+            arr.min(),                                        # min byte
+            arr.max(),                                        # max byte
+            float(n),                                         # length
+            float((arr > 100).sum()) / n,                     # frac > 100
+            arr[:half].sum() / half if n > 1 else 0.0,        # first-half mean
+            arr[half:].sum() / (n - half) if n > 1 else 0.0,  # second-half mean
+            (arr * arr).sum() / n,                            # mean of squares
+        ],
+        dtype=np.float64,
+    )
+
+
 def extract_media_features(
     media: DataFrame,
     decoder: Callable[[bytes], np.ndarray] = fake_decode_image,
@@ -75,6 +101,30 @@ def extract_media_features(
     return media.mapInPandas(
         run, f"media_id long, kind string, {out_col} array<float>"
     )
+
+
+def extract_media_feature_stats(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode_stats,
+) -> DataFrame:
+    """Scalar-column form of :func:`extract_media_features` — one double
+    column per feature (``f0..f7``) instead of ``array<float>``, so the
+    output is hashable by tabular harnesses and oracle-checkable row-for-row
+    (the array form stays available above for vector consumers)."""
+    cols = [f"f{i}" for i in range(FEATURE_DIM)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = np.stack([decoder(p) for p in b["payload"]]) if len(b) else (
+                np.zeros((0, FEATURE_DIM))
+            )
+            out = {"media_id": b["media_id"], "kind": b["kind"]}
+            for i, c in enumerate(cols):
+                out[c] = feats[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, kind string, " + ", ".join(f"{c} double" for c in cols)
+    return media.mapInPandas(run, schema)
 
 
 def frame_sample_plan(

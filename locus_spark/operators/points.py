@@ -102,6 +102,40 @@ def find_ball_join(
     )
 
 
+def find_box_over_layout(
+    layout: DataFrame, query_boxes: DataFrame, grid: GridSpec
+) -> DataFrame:
+    """Range search over a PERSISTED Hilbert-clustered layout — the
+    build-once/query-many contract of the reference trees
+    (``/root/reference/locus/kd.py:29-55``: build in ``__init__``, then many
+    read-only queries).
+
+    The probe side is compiled into a literal ``cell IN (...)`` predicate
+    that reaches the Parquet scan (``PushedFilters`` in the plan), so the
+    layout's Hilbert clustering turns into row-group pruning — the
+    distributed analogue of the R-tree subtree skip
+    (``/root/reference/locus/_core/r.py:164-172``).  The probe table must be
+    small (it is collected to build the literal predicate — the same size
+    contract as broadcasting it); the exact closed predicate then runs in a
+    broadcast join.  Returns ``(qid, id, x, y)``."""
+    rows = query_boxes.select("qid", "min_x", "max_x", "min_y", "max_y").collect()
+    cells: set[int] = set()
+    for r in rows:
+        cx0, cy0 = grid.cell_xy_of(r.min_x, r.min_y)
+        cx1, cy1 = grid.cell_xy_of(r.max_x, r.max_y)
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                cells.add(cx * grid.n + cy)
+    pruned = layout.filter(F.col("cell").isin(sorted(cells)))
+    qb = F.broadcast(query_boxes.select("qid", "min_x", "max_x", "min_y", "max_y"))
+    joined = qb.join(
+        pruned,
+        F.col("x").between(F.col("min_x"), F.col("max_x"))
+        & F.col("y").between(F.col("min_y"), F.col("max_y")),
+    )
+    return joined.select("qid", "id", "x", "y")
+
+
 def knn_join(
     points: DataFrame,
     probes: DataFrame,

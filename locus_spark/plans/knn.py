@@ -52,6 +52,24 @@ PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
 PROBE_BBOX_COLS = ("_sx0", "_sx1", "_sy0", "_sy1")
 
 
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage with a RELIABLE checkpoint (replicated storage), not
+    ``localCheckpoint``: executor-memory checkpoints die with the executor, so
+    on a real cluster one lost executor would kill the whole ring loop, and
+    the pinned blocks accumulate across rounds (r1 verdict #5).  The
+    checkpointed frames here are tiny (≤ k rows/probe and the unsettled probe
+    list), so the write cost is negligible.  In local mode the dir defaults
+    to a temp directory; on a cluster set ``spark.checkpoint.dir`` (or call
+    ``sc.setCheckpointDir``) to shared storage — this helper respects any
+    pre-configured dir."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="locus_knn_ck_"))
+    return df.checkpoint(eager=True)
+
+
 def probe_frame(
     probes: DataFrame,
     grid: GridSpec,
@@ -244,9 +262,20 @@ def generic_knn_join(
     )
     margin = 1e-9 * scale
 
+    # size the FIRST window from mean cell density so the typical probe
+    # settles in round one — every extra round costs a fixed number of Spark
+    # jobs, which dominates wall time when the data per round is small.  The
+    # (2·hi+1)² window aims for ≥ ~4k expected candidates (min 3×3); sparse
+    # regions still expand geometrically afterwards.
+    import math
+
+    density = n_targets / float(grid.n * grid.n)
+    hi0 = int(math.ceil((math.sqrt((4.0 * k + 8.0) / max(density, 1e-12)) - 1.0) / 2.0))
+    hi0 = max(1, min(hi0, max(1, grid.n // 4)))
+
     unsettled = probes
     best: DataFrame | None = None
-    lo, step = 0, 1
+    lo, step = 0, hi0 + 1
     for _ in range(max_rounds):
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
@@ -268,11 +297,10 @@ def generic_knn_join(
         if dedup:
             # a multi-cell target may surface through several cells/rounds
             best = best.dropDuplicates(["qid", "id"])
-        best = (
+        best = _reliable_checkpoint(
             best.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
-            .localCheckpoint()
         )
         if _DEBUG:
             print(
@@ -306,7 +334,7 @@ def generic_knn_join(
             (F.col("_cnt") >= k) & (F.col("_kth") <= bound * bound), F.lit(False)
         )
         t0 = time.monotonic() if _DEBUG else 0.0
-        unsettled = (
+        unsettled = _reliable_checkpoint(
             unsettled.join(stats, "qid", "left")
             .filter(~settled)
             .select(
@@ -315,7 +343,6 @@ def generic_knn_join(
                 # branch-and-bound cap (null while fewer than k found)
                 F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
             )
-            .localCheckpoint()
         )
         if _DEBUG:
             print(

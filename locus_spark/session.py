@@ -66,6 +66,9 @@ def get_spark(
         # kNN ring loop at local[4] with every core busy).
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.network.timeout", "1200s")
+        # GC reliable-checkpoint files once their DataFrames are collected
+        # (the kNN ring loop checkpoints small frames every round)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

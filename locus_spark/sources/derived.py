@@ -142,19 +142,23 @@ DERIVED = {
 }
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+#: session conf key recording which sf_dir's views are currently registered.
+#: Stored on the session itself (not a module dict keyed by a GC-able proxy
+#: id), so a fresh session always registers and switching dirs re-registers —
+#: the views are overwrite-in-place, so only the *latest* dir is valid.
+_REGISTERED_CONF_KEY = "locus_spark.registered_sf_dir"
 
 
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views (memoized per
-    session+dir — every registry query calls this, and re-reading 10 parquet
-    footers per query is pure overhead)."""
-    key = (id(spark._jsparkSession), sf_dir)
-    if key in _REGISTERED:
+    session — every registry query calls this, and re-reading 10 parquet
+    footers per query is pure overhead).  Re-registers whenever the requested
+    dir differs from the one the session currently has."""
+    if spark.conf.get(_REGISTERED_CONF_KEY, None) == sf_dir:
         return
     for name in TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
-    _REGISTERED.add(key)
+    spark.conf.set(_REGISTERED_CONF_KEY, sf_dir)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

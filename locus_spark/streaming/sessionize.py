@@ -10,7 +10,9 @@ truly idle users).
 Scale shape: state is per-user and O(1); the shuffle is one hash exchange on
 ``user_id``; batches stream through Arrow.  The same callable works under
 ``trigger(availableNow=True)`` for backfill and continuous triggers for live
-streams.
+streams — but note that with ``ProcessingTimeTimeout`` an availableNow query
+does not self-terminate (it stays alive to fire idle-session timeouts); for
+pure backfill use ``sessionize_batch``, which emits open tails too.
 """
 
 from __future__ import annotations
@@ -65,7 +67,10 @@ def _sessionize_user(
             closed.append((start, last, n))
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            # cross-batch late event (t <= last): fold into the open session
+            # without moving `last` backwards — see ordered-arrival caveat in
+            # sessionize_stream's docstring
+            last, n = max(last, t), n + 1
     state.update((start, last, n))
     state.setTimeoutDuration(gap_s * 1000)
     if closed:
@@ -114,7 +119,17 @@ def sessionize_stream(
     events: DataFrame, gap_s: int = DEFAULT_GAP_S
 ) -> DataFrame:
     """Closed sessions per user from a (streaming) events DataFrame with
-    columns (user_id long, ts timestamp)."""
+    columns (user_id long, ts timestamp).
+
+    **Ordered-arrival assumption**: there is no event-time watermark — events
+    are sorted *within* each micro-batch, but an event arriving in a later
+    batch with ``ts`` earlier than the open session's ``last`` is folded into
+    the current session (``last`` never moves backwards), and an event whose
+    session was already emitted starts/extends a new one.  Under heavily
+    out-of-order arrival the streaming output therefore diverges from
+    ``sessionize_batch`` (which sees the full history).  Idle sessions are
+    closed by ``ProcessingTimeTimeout`` — i.e. on *processing* time, not
+    event time."""
 
     def fn(key, batches, state):
         yield from _sessionize_user(key, batches, state, gap_s)

@@ -51,6 +51,47 @@ def test_simhash_exact_dup_distance_zero(docs):
     assert out[(0, 1)] == 0
 
 
+def test_simhash_fingerprint_matches_loop_oracle(docs):
+    """The relational SimHash plan (md5 halves → 64 vote aggregates) must
+    reproduce a straightforward per-doc Python implementation bit-for-bit."""
+    import hashlib
+
+    from locus_spark.operators.dedup import simhash_fingerprints
+
+    def simhash_py(text: str) -> int:
+        toks = {t for t in text.split(" ") if t}
+        votes = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            h = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        fp = sum(1 << j for j in range(64) if votes[j] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    got = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
+    want = {i: simhash_py(t) for i, t, _ in DOCS}
+    assert got == want
+
+
+def test_minhash_duplicate_cluster_skew(spark):
+    """A 40-doc identical-text cluster (the r1 quadratic-band-join hazard):
+    only one representative is banded; all C(40,2) within-cluster pairs come
+    out with jaccard exactly 1.0, plus the near-dup pair to the variant."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en", "s", len(base)) for i in range(40)]
+    rows.append((99, base + " with a small change", "en", "s", 5))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(df).collect()}
+    within = {(a, b): j for (a, b), j in pairs.items() if b != 99}
+    assert len(within) == 40 * 39 // 2
+    assert all(j == 1.0 for j in within.values())
+    cross = {(a, b): j for (a, b), j in pairs.items() if b == 99}
+    assert len(cross) == 40 and all(0 < j < 1 for j in cross.values())
+
+
 def test_token_stats_and_quality(docs):
     ts = {r.doc_id: r for r in token_stats(docs).collect()}
     assert ts[0].n_tokens == 6 and ts[0].n_uniq == 5

@@ -91,8 +91,10 @@ def test_nearest_duplicate_points_tie_by_id(spark):
 
 def test_knn_hot_cluster_skew(spark):
     """Regression for the hot-cell candidate explosion: half the points in one
-    dense cluster, probes both inside and on the fringe — the cap-pruned
-    cogroup path must still return the exact brute-force top-k."""
+    dense cluster, probes both inside and on the fringe — exercises the _cap
+    branch-and-bound pruning in the broadcast round evaluator (the cogroup
+    kernel itself is covered by test_cogroup_local_topk_path_matches_broadcast,
+    which forces it via LOCAL_TOPK_MIN_TARGETS)."""
     rng = np.random.RandomState(7)
     hot = rng.uniform(-1.0, 1.0, size=(400, 2))
     cold = rng.uniform(-100.0, 100.0, size=(400, 2))
@@ -109,6 +111,72 @@ def test_knn_hot_cluster_skew(spark):
     for r in got:
         by_q.setdefault(r.qid, []).append((r.rn, r.dist2, r.id))
     assert set(by_q) == set(want)
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [(d, i) for _, d, i in rows] == want[qid]
+
+
+def test_cogroup_local_topk_path_matches_broadcast(spark, monkeypatch):
+    """Force the cogrouped numpy local-top-k kernel (normally gated behind
+    LOCAL_TOPK_MIN_TARGETS = 2M targets, unreachable by test-sized inputs)
+    and assert it matches the broadcast round evaluator for all three kNN
+    families — points, boxes, segments — including duplicate-geometry ties."""
+    import locus_spark.plans.knn as knnplan
+    from locus_spark.operators.boxes import box_knn_join
+    from locus_spark.operators.segments import segment_knn_to_point_join
+
+    rng = np.random.RandomState(11)
+    pts = [tuple(map(float, p)) for p in rng.uniform(-50, 50, size=(200, 2))]
+    pts += [pts[0], pts[1]]  # duplicates → tie-by-id coverage
+    probes = [tuple(map(float, p)) for p in rng.uniform(-60, 60, size=(10, 2))]
+    grid = GridSpec(-60.0, -60.0, 60.0, 60.0, 4)
+    pdf, qdf = _points_df(spark, pts), _probes_df(spark, probes)
+    raw_b = rng.uniform(-50, 50, size=(150, 4))
+    boxes = [
+        (i, float(min(a, b)), float(max(a, b)) + 0.5,
+         float(min(c, d)), float(max(c, d)) + 0.5)
+        for i, (a, b, c, d) in enumerate(raw_b)
+    ]
+    boxes += [(150, *boxes[0][1:]), (151, *boxes[1][1:])]  # duplicate boxes
+    bdf = spark.createDataFrame(
+        boxes, "id long, min_x double, max_x double, min_y double, max_y double"
+    )
+    raw_s = rng.uniform(-50, 50, size=(150, 4))
+    segs = [
+        (i, float(a), float(c), float(a + abs(b) * 0.1 + 0.01),
+         float(c + abs(d) * 0.1 + 0.01))
+        for i, (a, b, c, d) in enumerate(raw_s)
+    ]
+    sdf = spark.createDataFrame(
+        segs, "id long, x1 double, y1 double, x2 double, y2 double"
+    )
+
+    def run_all():
+        out = {}
+        out["pts"] = sorted(
+            (r.qid, r.rn, r.id, r.dist2)
+            for r in knn_join(pdf, qdf, 3, grid=grid).collect()
+        )
+        out["boxes"] = sorted(
+            (r.qid, r.rn, r.id, r.dist2)
+            for r in box_knn_join(bdf, qdf, 3, grid=grid).collect()
+        )
+        out["segs"] = sorted(
+            (r.qid, r.rn, r.id, r.dist2)
+            for r in segment_knn_to_point_join(sdf, qdf, 3, grid=grid).collect()
+        )
+        return out
+
+    monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 1)
+    got_cogroup = run_all()
+    monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 10**12)
+    got_broadcast = run_all()
+    assert got_cogroup == got_broadcast
+    # and both match brute force for the points family
+    want = _brute_knn(pts, probes, 3)
+    by_q = {}
+    for qid, rn, i, d in got_cogroup["pts"]:
+        by_q.setdefault(qid, []).append((rn, d, i))
     for qid, rows in by_q.items():
         rows.sort()
         assert [(d, i) for _, d, i in rows] == want[qid]

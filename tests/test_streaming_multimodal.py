@@ -29,7 +29,7 @@ def test_streaming_matches_batch_counts(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {
         (r.hour, r.event_type): r.n
         for r in spark.table("hourly_test").collect()
@@ -67,6 +67,22 @@ def test_media_features_schema_and_determinism(spark, media):
     assert np.allclose(rows[0], expect, rtol=1e-6)
 
 
+def test_media_feature_stats_flat_schema(spark, media):
+    from locus_spark.operators.multimodal import (
+        extract_media_feature_stats,
+        fake_decode_stats,
+    )
+
+    out = extract_media_feature_stats(media)
+    assert out.columns == ["media_id", "kind"] + [f"f{i}" for i in range(8)]
+    assert all(f.dataType.simpleString() == "double" for f in out.schema.fields[2:])
+    rows = {r.media_id: [r[f"f{i}"] for i in range(8)] for r in out.collect()}
+    assert len(rows) == 20
+    # bit-exact against the local kernel (the oracle-parity contract)
+    expect = fake_decode_stats(bytes([3 % 256] * 53))
+    assert rows[3] == expect.tolist()
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode_image(b"\xff\xd8")
@@ -100,11 +116,24 @@ def test_sessionize_stateful_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        (r.user_id, r.n_events): (r.session_start, r.session_end)
-        for r in spark.table("sessions_test").collect()
-    }
+    # NOTE: availableNow does NOT terminate this query — ProcessingTimeTimeout
+    # keeps it alive waiting to fire the idle-session timeout (gap_s = 30 min),
+    # so awaitTermination would block.  Poll the sink for the two in-batch
+    # closed sessions, then stop the query explicitly.
+    import time
+
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table("sessions_test").count() >= 2:
+                break
+            time.sleep(1)
+        got = {
+            (r.user_id, r.n_events): (r.session_start, r.session_end)
+            for r in spark.table("sessions_test").collect()
+        }
+    finally:
+        q.stop()
     assert (1, 3) in got and got[(1, 3)] == (t0, t0 + dt.timedelta(minutes=10))
     assert (2, 1) in got and got[(2, 1)] == (t0, t0)
 
