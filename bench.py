@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "doc_token_stats",
     "doc_lang_id",

@@ -214,6 +214,64 @@ def minhash_lsh_pairs(
     return out
 
 
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    shingle: int = SHINGLE,
+    min_jaccard: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an INVERTED SHINGLE INDEX —
+    the deterministic sibling of MinHash banding: candidate pairs are docs
+    sharing at least one *rare* shingle (document frequency ≤ ``max_df``),
+    then exact Jaccard over the full shingle sets filters to
+    ``jaccard ≥ min_jaccard``.  Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The df cap is the scale valve: a shingle appearing in d docs contributes
+    O(d²) candidate pairs, so frequent shingles (boilerplate) are dropped
+    from the *index* (not from the Jaccard sets).  A pair all of whose common
+    shingles are frequent is missed by design — at ``min_jaccard ≥ 0.5`` a
+    near-dup pair shares roughly half its shingles, which are rare unless the
+    documents are boilerplate.  Everything is joins/groupBys with map-side
+    combine; no UDFs."""
+    sh = _doc_shingles(documents, shingle).cache()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    indexed = sh.join(rare, "shingle")
+    cand = (
+        indexed.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(indexed.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash — a pure relational plan (whole-stage codegen, no Python at all):
 # distinct tokens explode → md5 split into two 32-bit halves (JVM) → 64

@@ -31,9 +31,16 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5("text").alias("fp"), "n_chars")
 
 
+#: BPE-style pre-tokenizer shape: alphanumeric runs + individual non-space
+#: punctuation — the unit a byte-pair tokenizer would split further.  Simple
+#: character classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+SUBTOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_uniq, uniq_ratio) — whitespace tokenization."""
-    toks = documents.select("doc_id", _tokens().alias("ts"))
+    """(doc_id, n_tokens, n_uniq, uniq_ratio, n_subtokens) — whitespace
+    tokenization plus the BPE-ish regex subtoken count."""
+    toks = documents.select("doc_id", "text", _tokens().alias("ts"))
     return toks.select(
         "doc_id",
         F.size("ts").alias("n_tokens"),
@@ -42,6 +49,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
             F.size(F.array_distinct("ts")).cast("double")
             / F.size("ts").cast("double")
         ).alias("uniq_ratio"),
+        F.size(F.expr(f"regexp_extract_all(text, '{SUBTOKEN_RE}', 0)")).alias(
+            "n_subtokens"
+        ),
     )
 
 

@@ -519,6 +519,54 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark.table("documents"))
 
 
+NGRAM_MIN_JACCARD = 0.5
+NGRAM_MAX_DF = 1000
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+), idx AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+  GROUP BY cand.id_a, cand.id_b
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a AS id_a, i.id_b AS id_b,
+       i.n_inter / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_inter / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {NGRAM_MIN_JACCARD}
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the inverted shingle index
+    (deterministic sibling of MinHash banding; df-capped for scale)."""
+    from locus_spark.operators.dedup import ngram_jaccard_pairs
+
+    derived.register_base_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        spark.table("documents"),
+        min_jaccard=NGRAM_MIN_JACCARD,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
 from locus_spark.operators.dedup import simhash_oracle_sql  # noqa: E402
 
 
@@ -539,14 +587,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.table("documents"))
 
 
-_TOKEN_STATS_ORACLE = """
+from locus_spark.operators.textops import SUBTOKEN_RE  # noqa: E402
+
+_TOKEN_STATS_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS ts
   FROM documents
 )
 SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
        CAST(len(list_distinct(ts)) AS INT) AS n_uniq,
-       CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS uniq_ratio
+       CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS uniq_ratio,
+       CAST(len(regexp_extract_all(text, '{SUBTOKEN_RE}')) AS INT) AS n_subtokens
 FROM toks
 """
 

@@ -92,9 +92,30 @@ def test_minhash_duplicate_cluster_skew(spark):
     assert len(cross) == 40 and all(0 < j < 1 for j in cross.values())
 
 
+def test_ngram_jaccard_inverted_index(docs):
+    from locus_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0                    # exact dup
+    assert (0, 2) in pairs and 0.2 <= pairs[(0, 2)] < 1
+    assert (0, 4) not in pairs                     # disjoint shingles
+    # df cap drops frequent shingles from the index: with max_df=1 the
+    # shingles shared by the 0/1/2 cluster (df 2-3) can't generate candidates
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.2, max_df=1).collect()
+    }
+    assert capped == set()
+
+
 def test_token_stats_and_quality(docs):
     ts = {r.doc_id: r for r in token_stats(docs).collect()}
     assert ts[0].n_tokens == 6 and ts[0].n_uniq == 5
+    # BPE-ish subtokens: "the cat sat on the mat" → 6 alnum runs, no punct
+    assert ts[0].n_subtokens == 6
     q = {r.doc_id: r for r in quality_score(docs).collect()}
     assert 0 <= q[0].stop_ratio <= 1 and q[0].quality >= 0
 
