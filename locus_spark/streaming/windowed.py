@@ -19,6 +19,12 @@ def hourly_event_stream(
     ``date_trunc('hour', ts)`` form.  ``approx_count_distinct`` stands in for
     the exact distinct (exact distinct isn't incrementally computable in a
     streaming agg without full state).
+
+    Test status: the streaming forms here and in ``sessionize.py`` are
+    verified by BATCH EQUIVALENCE on a finite replayed input
+    (tests/test_streaming_multimodal.py) — no live unbounded-source run is
+    possible in this sandbox; late-data watermark behavior is declared, not
+    end-to-end exercised.
     """
     stream = (
         spark.readStream.schema(schema).parquet(events_path)
