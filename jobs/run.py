@@ -133,10 +133,12 @@ def main() -> None:
         n_out = build_query().count()
         return n_out, time.monotonic() - t0
 
-    # deterministic 500-ish probe subset — limit() would pick whatever rows
-    # arrive first and differ across parallelism levels
+    # deterministic ~2000-probe subset — limit() would pick whatever rows
+    # arrive first and differ across parallelism levels; 2000 (not 500) keeps
+    # the box/ball walls well above per-job scheduling noise at the high
+    # parallelism level, which otherwise dominates the efficiency ratio
     probes_small = probes.filter(
-        F.pmod(F.xxhash64(F.col("qid"), F.lit(7)), F.lit(max(1, n_probes // 500))) == 0
+        F.pmod(F.xxhash64(F.col("qid"), F.lit(7)), F.lit(max(1, n_probes // 2000))) == 0
     )
     qboxes = probes_small.select(
         F.col("qid"),
