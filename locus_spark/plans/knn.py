@@ -52,28 +52,40 @@ PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
 PROBE_BBOX_COLS = ("_sx0", "_sx1", "_sy0", "_sy1")
 
 
-def _reliable_checkpoint(df: DataFrame) -> DataFrame:
-    """Truncate lineage with a RELIABLE checkpoint (replicated storage), not
-    ``localCheckpoint``: executor-memory checkpoints die with the executor, so
-    on a real cluster one lost executor would kill the whole ring loop, and
-    the pinned blocks accumulate across rounds (r1 verdict #5).  The
-    checkpointed frames here are tiny (≤ k rows/probe and the unsettled probe
-    list), so the write cost is negligible.
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize a round's running state and truncate its lineage.
 
-    CRITICAL: persist BEFORE checkpointing — ``checkpoint(eager=True)``
-    otherwise recomputes the full lineage a second time during the
-    checkpoint-write job (the classic reliable-checkpoint gotcha), which for
-    these frames means re-running the whole round's candidate kernel
-    (measured 2.5-4x kNN slowdown without the persist).  With the persist,
-    the write job reads the cached blocks; the cache is dropped right after,
-    so nothing accumulates across rounds.
+    Two modes, picked by ``spark.locus.knn.checkpoint`` (default ``auto``):
 
-    In local mode the dir defaults to a temp directory; on a cluster set
-    ``sc.setCheckpointDir`` to shared storage — any pre-configured dir is
-    respected."""
+    * ``reliable`` — persist, then checkpoint to the reliable checkpoint dir,
+      then drop the cache.  This is the CLUSTER mode: executor-memory
+      checkpoints die with their executor, so on a multi-executor cluster a
+      reliable checkpoint removes the ring loop's single point of failure
+      (r1 verdict #5).  The persist-first is load-bearing:
+      ``checkpoint(eager=True)`` otherwise recomputes the full lineage —
+      including the round's whole candidate kernel — a second time during
+      the checkpoint-write job (measured 2.5-4x kNN slowdown).  Set
+      ``sc.setCheckpointDir`` to shared storage; a temp dir is used as a
+      local fallback.
+    * ``local`` — ``localCheckpoint`` (executor-memory blocks).  This is the
+      LOCAL-mode default: driver and executor share one process there, so
+      executor loss isn't a survivable event anyway and the reliable write
+      is pure overhead (measured ~3.5 s/round at local[32]).
+
+    ``auto`` resolves to ``local`` when the master is ``local*``, else
+    ``reliable``.  Callers release the PREVIOUS round's blocks once the new
+    state is materialized (see the ring loop), so neither mode accumulates
+    storage across rounds."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.locus.knn.checkpoint", "auto")
+    sc = spark.sparkContext
+    reliable = mode == "reliable" or (
+        mode == "auto" and not sc.master.startswith("local")
+    )
+    if not reliable:
+        return df.localCheckpoint(eager=True)
     from pyspark import StorageLevel
 
-    sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile
 
@@ -283,20 +295,35 @@ def generic_knn_join(
     # own cell already holds that many (dense targets) the window stays a
     # single ring — widening it would multiply candidate-kernel work for no
     # round saved.  Sparse regions still expand geometrically afterwards.
+    #
+    # Only the BROADCAST evaluator benefits: its per-round cost is dominated
+    # by fixed job overhead, so fewer rounds win.  The cogrouped kernel's
+    # cost scales with covered cells (targets shuffled + Arrow-transferred
+    # per cell), so a wider window multiplies real work — measured 3.6x kNN
+    # slowdown at 16M rows — and there the loop starts at a single ring.
     import math
 
-    density = n_targets / float(grid.n * grid.n)
-    hi0 = int(math.ceil((math.sqrt((4.0 * k + 8.0) / max(density, 1e-12)) - 1.0) / 2.0))
-    hi0 = max(0, min(hi0, max(1, grid.n // 4)))
+    use_cogroup = local_dist2 is not None and n_targets >= LOCAL_TOPK_MIN_TARGETS
+    if use_cogroup:
+        hi0 = 0
+    else:
+        density = n_targets / float(grid.n * grid.n)
+        hi0 = int(
+            math.ceil((math.sqrt((4.0 * k + 8.0) / max(density, 1e-12)) - 1.0) / 2.0)
+        )
+        hi0 = max(0, min(hi0, max(1, grid.n // 4)))
 
     unsettled = probes
     best: DataFrame | None = None
+    #: previous round's materialized frames — released once the new round's
+    #: state exists, so checkpoint blocks never accumulate across rounds
+    stale: list[DataFrame] = []
     lo, step = 0, hi0 + 1
     for _ in range(max_rounds):
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
         ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
-        if local_dist2 is not None and n_targets >= LOCAL_TOPK_MIN_TARGETS:
+        if use_cogroup:
             cand = _cogroup_topk(
                 target_cells, ann, k, local_dist2, tie_desc_id,
                 [c for c in probe_payload if c not in PROBE_BBOX_COLS],
@@ -313,7 +340,7 @@ def generic_knn_join(
         if dedup:
             # a multi-cell target may surface through several cells/rounds
             best = best.dropDuplicates(["qid", "id"])
-        best = _reliable_checkpoint(
+        best = _truncate_lineage(
             best.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
@@ -350,7 +377,7 @@ def generic_knn_join(
             (F.col("_cnt") >= k) & (F.col("_kth") <= bound * bound), F.lit(False)
         )
         t0 = time.monotonic() if _DEBUG else 0.0
-        unsettled = _reliable_checkpoint(
+        unsettled = _truncate_lineage(
             unsettled.join(stats, "qid", "left")
             .filter(~settled)
             .select(
@@ -360,6 +387,11 @@ def generic_knn_join(
                 F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
             )
         )
+        # the new best/unsettled are materialized — the previous round's
+        # blocks are no longer reachable by any future computation
+        for old in stale:
+            old.unpersist()
+        stale = [best, unsettled]
         if _DEBUG:
             print(
                 f"[knn] ring [{lo},{hi}] -> unsettled={unsettled.count()}"
