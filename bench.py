@@ -76,6 +76,9 @@ def main() -> None:
         t0 = time.monotonic()
         rows[name] = fn(spark, sf_dir).count()
         results[name] = round(time.monotonic() - t0, 3)
+        # release cached/checkpointed blocks (ring-loop state, dedup shingle
+        # caches) so earlier queries' storage doesn't pressure later ones
+        spark.catalog.clearCache()
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -40,7 +40,7 @@ def run_level(rows: int, probes: int, cores: int) -> dict:
     and the N-level throughput is overstated.  ``taskset`` bounds the whole
     process tree (JVM + Python workers) to N CPUs, the honest analogue of an
     N-core cluster."""
-    cmd = [
+    base = [
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable,
         str(REPO / "jobs" / "run.py"),
@@ -48,11 +48,18 @@ def run_level(rows: int, probes: int, cores: int) -> dict:
         "--probes", str(probes),
         "--cores", str(cores),
         "--checkpoint", f"/tmp/locus_scaling_ck_{cores}",
-        "--fresh",
     ]
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-    if proc.returncode != 0:
+    # saturated low-core local runs occasionally lose a Python Arrow worker
+    # to a socket reset in this sandbox; one retry resumes the level from
+    # its completed checkpointed stages (--fresh only on the first attempt)
+    for attempt in (1, 2):
+        cmd = base + (["--fresh"] if attempt == 1 else [])
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        if proc.returncode == 0:
+            break
         sys.stderr.write(proc.stderr[-4000:])
+        sys.stderr.write(f"\n[retry] jobs/run.py failed at cores={cores}, attempt {attempt}\n")
+    else:
         raise RuntimeError(f"jobs/run.py failed at cores={cores}")
     out = proc.stdout
     # the job prints exactly one JSON object line
