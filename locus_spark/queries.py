@@ -781,6 +781,49 @@ WHERE {_EMB_COS} >= {EMB_LSH_THRESHOLD}
 """
 
 
+# top-1 ANN over the same planted fixture: each probe's nearest neighbor is
+# its scaled copy (cos ≈ 1 vs ≤ ~0.51 natural), and a positive scaling lands
+# in the SAME sign bucket of every LSH table, so the approximate path is
+# provably exact at k=1 here — giving the LSH ANN operator a full-equality
+# oracle row (its general top-k recall is pytest-asserted instead).
+_LDP_A = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_COS_AQ = (
+    f"{_LDP_A.format(a='a.embedding', b='q.qv')}"
+    f" / (sqrt({_LDP_A.format(a='a.embedding', b='a.embedding')})"
+    f" * sqrt({_LDP_A.format(a='q.qv', b='q.qv')}))"
+)
+
+_ANN_LSH_PLANTED_ORACLE = f"""
+WITH aug AS ({_EMB_AUG_DUCK})
+, q AS (SELECT vec_id AS qid, embedding AS qv FROM aug
+        WHERE vec_id % 20 = 0 AND vec_id < 200)
+, cand AS (
+  SELECT q.qid AS qid, a.vec_id AS vec_id, {_COS_AQ} AS cos
+  FROM aug a CROSS JOIN q
+  WHERE a.vec_id <> q.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 1
+"""
+
+
+@register("ann_lsh_top1_planted", _ANN_LSH_PLANTED_ORACLE)
+def q_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a deterministic exactness guarantee: top-1
+    over the planted-copy corpus, checked for full equality against the
+    exact brute-force oracle."""
+    derived.register_base_tables(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG_SPARK)
+    # only planted originals probe — each has a scaled copy in the corpus,
+    # which every LSH table is guaranteed to bucket with it
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(aug, probes, 1, n_planes=6, n_tables=8)
+
+
 @register("dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets (operators/ann.py
