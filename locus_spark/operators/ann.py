@@ -116,14 +116,40 @@ def lsh_topk(
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 12, dim: int = 64
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the LSH buckets (exact
-    cosine verified inside each bucket).  Returns (id_a, id_b, cos)."""
-    planes = make_planes(dim, n_planes)
-    c = embeddings.withColumn("_bucket", _bucket_col("embedding", planes))
-    a = c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket")
-    b = c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_bucket")
-    pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane LSH
+    (exact cosine verified on every candidate).  Returns (id_a, id_b, cos).
+
+    Candidates are unioned over ``n_tables`` independent plane sets — a
+    single table's recall at the threshold margin is useless (one 12-plane
+    table keeps a cos≈0.95 pair with probability ≈0.9¹²≈0.28); with the
+    8×8 default a pair at cos 0.95 collides in at least one table with
+    probability 1-(1-0.91⁸)⁸ ≈ 0.99 (measured in
+    tests/test_pipeline_ops.py::test_embedding_near_dup_jittered_recall).
+    Exact-cosine verification means extra candidates cost time, never
+    correctness.  Candidate volume ≈ ``n_tables / 2^n_planes`` of the pair
+    space — the scale knob for 10^12-row runs."""
+    cand = None
+    for t in range(n_tables):
+        planes = make_planes(dim, n_planes, seed=7 + 131 * t)
+        c = embeddings.withColumn("_bucket", _bucket_col("embedding", planes))
+        a = c.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket"
+        )
+        b = c.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_bucket"
+        )
+        p = (
+            a.join(b, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    pairs = cand.dropDuplicates(["id_a", "id_b"])
     scored = pairs.select("id_a", "id_b", cosine_expr("va", "vb").alias("cos"))
     return scored.filter(F.col("cos") >= threshold)

@@ -218,34 +218,70 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     shingle: int = SHINGLE,
     min_jaccard: float = 0.5,
-    max_df: int = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via an INVERTED SHINGLE INDEX —
-    the deterministic sibling of MinHash banding: candidate pairs are docs
-    sharing at least one *rare* shingle (document frequency ≤ ``max_df``),
-    then exact Jaccard over the full shingle sets filters to
-    ``jaccard ≥ min_jaccard``.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    """EXACT n-gram-Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    shingle index — the deterministic sibling of MinHash banding.  Returns
+    every pair with ``jaccard ≥ min_jaccard`` as (id_a, id_b, jaccard),
+    id_a < id_b.
 
-    The df cap is the scale valve: a shingle appearing in d docs contributes
-    O(d²) candidate pairs, so frequent shingles (boilerplate) are dropped
-    from the *index* (not from the Jaccard sets).  A pair all of whose common
-    shingles are frequent is missed by design — at ``min_jaccard ≥ 0.5`` a
-    near-dup pair shares roughly half its shingles, which are rare unless the
-    documents are boilerplate.  Everything is joins/groupBys with map-side
-    combine; no UDFs."""
-    sh = _doc_shingles(documents, shingle).cache()
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("shingle")
+    Scale shape (AllPairs-style prefix filtering, Bayardo et al. WWW'07):
+    under a global shingle order (document frequency asc, shingle asc), only
+    each doc's first ``n - ⌈t·n⌉ + 1`` shingles are INDEXED; candidates are
+    (full shingle set) ⋈ (prefix index) matches.  Complete for J ≥ t: a
+    qualifying pair shares ``I ≥ ⌈t·n_b⌉`` shingles, and at most
+    ``⌈t·n_b⌉ - 1`` of them can sit outside b's prefix, so at least one
+    common shingle is indexed for b and a's full set probes it.  Rare-first
+    ordering makes the indexed entries exactly the low-df shingles, so a
+    boilerplate shingle in d docs no longer contributes O(d²) candidate
+    pairs unless it genuinely is among a doc's rarest.
+
+    Exact duplicates are pre-grouped (one representative per distinct text is
+    shingled/indexed — the same rep/expand scheme as MinHash), so a d-doc
+    identical cluster costs O(d) not O(d²); within-group pairs come out with
+    jaccard exactly 1.0 (always ≥ t) provided the text shingles at all.
+
+    ``max_df`` is an OPTIONAL extra valve dropping indexed entries above a
+    document-frequency cap; it trades completeness for candidate volume on
+    pathological boilerplate corpora (within-group exact-dup pairs are still
+    always returned).  Default None = exact.
+
+    Everything is joins/groupBys/windows with map-side combine; no UDFs."""
+    members = documents.select(F.md5("text").alias("_fp"), "doc_id").cache()
+    reps = (
+        documents.select(F.md5("text").alias("_fp"), "doc_id", "text")
+        .groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
     )
-    indexed = sh.join(rare, "shingle")
+    sh = _doc_shingles(reps.select("doc_id", "text"), shingle).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + F.lit(1)
+    )
+    idx = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= prefix_len)
+    )
+    if max_df is not None:
+        idx = idx.filter(F.col("_df") <= max_df)
+    idx = idx.select("doc_id", "shingle")
     cand = (
-        indexed.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(indexed.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sh.select(F.col("doc_id").alias("_d1"), "shingle")
+        .join(idx.select(F.col("doc_id").alias("_d2"), "shingle"), "shingle")
+        .filter(F.col("_d1") != F.col("_d2"))
+        .select(
+            F.least("_d1", "_d2").alias("id_a"),
+            F.greatest("_d1", "_d2").alias("id_b"),
+        )
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -256,8 +292,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    return (
+    rep_pairs = (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .select(
@@ -270,6 +305,50 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    # expand representative pairs back through the duplicate groups (same
+    # scheme as minhash_lsh_pairs): every member×member pair has the same
+    # shingle sets, hence the same jaccard
+    rep_fp = reps.select(F.col("doc_id").alias("_rid"), "_fp")
+    cross = (
+        rep_pairs.join(
+            rep_fp.select(F.col("_rid").alias("id_a"), F.col("_fp").alias("_fp_a")),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(F.col("_rid").alias("id_b"), F.col("_fp").alias("_fp_b")),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_a"), F.col("doc_id").alias("_da")),
+            "_fp_a",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_b"), F.col("doc_id").alias("_db")),
+            "_fp_b",
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs are exact dups: jaccard exactly 1.0 ≥ any t, but
+    # only for texts that actually shingle (< shingle tokens → no pairs)
+    shingled_fps = rep_fp.join(
+        sh.select(F.col("doc_id").alias("_rid")).distinct(), "_rid"
+    ).select("_fp")
+    within = (
+        members.select("_fp", F.col("doc_id").alias("_da"))
+        .join(members.select("_fp", F.col("doc_id").alias("_db")), "_fp")
+        .filter(F.col("_da") < F.col("_db"))
+        .join(shingled_fps, "_fp", "left_semi")
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
@@ -386,9 +465,20 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash banding: fingerprints split into 4 16-bit
     bands; pairs sharing a band are verified with exact popcount Hamming
-    distance.  Returns (id_a, id_b, hamming)."""
-    fps = simhash_fingerprints(documents)
-    banded = fps.select(
+    distance.  Returns (id_a, id_b, hamming).
+
+    Docs with IDENTICAL fingerprints are grouped FIRST and only one
+    representative per distinct ``fp`` enters the band self-join — identical
+    fingerprints share all 4 band keys, so banding every member makes a
+    d-duplicate cluster emit d² candidate rows per band (the same quadratic
+    hazard MinHash fixed in round 1 by banding text representatives).  The
+    representative pairs are expanded back through the fp groups afterwards,
+    and within-group pairs are emitted with Hamming 0 directly (equal fps
+    always share every band, so they are always candidates) — the output is
+    identical to banding everything, minus the O(dups²) band-join blowup."""
+    fps = simhash_fingerprints(documents).cache()
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    banded = reps.select(
         "doc_id",
         "fp",
         F.explode(
@@ -404,20 +494,44 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # rep pairs: distinct fps sharing at least one 16-bit band, within budget
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    # cross-group expansion: every member-of-A × member-of-B pair has the
+    # same fingerprints, hence the same Hamming distance
+    cross = (
+        rep_pairs.join(
+            fps.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("_da")), "fp_a"
+        )
+        .join(
+            fps.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("_db")), "fp_b"
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: equal fps share all bands → always candidates,
+    # Hamming exactly 0 (and 0 <= max_hamming for any valid budget)
+    within = (
+        fps.select("fp", F.col("doc_id").alias("_da"))
+        .join(fps.select("fp", F.col("doc_id").alias("_db")), "fp")
+        .filter(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)

@@ -73,9 +73,21 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
       is pure overhead (measured ~3.5 s/round at local[32]).
 
     ``auto`` resolves to ``local`` when the master is ``local*``, else
-    ``reliable``.  Callers release the PREVIOUS round's blocks once the new
-    state is materialized (see the ring loop), so neither mode accumulates
-    storage across rounds."""
+    ``reliable``.  Reliable mode REQUIRES ``sc.setCheckpointDir`` on shared
+    storage: a driver-local temp dir is not visible to executors on a real
+    cluster (partitions written to per-node filesystems vanish with the
+    node), so with no checkpoint dir configured on a non-local master we
+    log a prominent warning and fall back to ``localCheckpoint`` rather
+    than fake durability; the temp-dir convenience only applies to local
+    masters (single machine — any dir is "shared").
+
+    Checkpointed frames stay referenced until the returned result is
+    consumed (settled probes' rows point at their round's frame); block
+    cleanup is the ContextCleaner's job
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is set by
+    ``locus_spark.session``), not an explicit unpersist —
+    ``DataFrame.unpersist`` on a checkpoint-returned frame frees nothing
+    anyway (the blocks aren't registered in the cache manager)."""
     spark = df.sparkSession
     mode = spark.conf.get("spark.locus.knn.checkpoint", "auto")
     sc = spark.sparkContext
@@ -84,12 +96,26 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     )
     if not reliable:
         return df.localCheckpoint(eager=True)
+    if sc.getCheckpointDir() is None:
+        if sc.master.startswith("local"):
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="locus_knn_ck_"))
+        else:
+            import warnings
+
+            warnings.warn(
+                "locus_spark kNN: reliable checkpoint mode requested but no "
+                "checkpoint dir is set; a driver-local temp dir would NOT be "
+                "shared storage on this cluster master, so falling back to "
+                "localCheckpoint (no executor-loss tolerance). Call "
+                "sc.setCheckpointDir(<shared path>) to enable reliable mode.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return df.localCheckpoint(eager=True)
     from pyspark import StorageLevel
 
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="locus_knn_ck_"))
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     out = df.checkpoint(eager=True)
     df.unpersist()

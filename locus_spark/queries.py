@@ -520,8 +520,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_MIN_JACCARD = 0.5
-NGRAM_MAX_DF = 1000
 
+# the Spark side is EXACT for J >= t (prefix-filter completeness, see
+# operators/dedup.py:ngram_jaccard_pairs), so the oracle can use the simplest
+# complete candidate generator: every pair sharing at least one shingle.
 _NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -530,13 +532,9 @@ WITH toks AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
   FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
   WHERE len(ts) >= 3
-), rare AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
-), idx AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), inter AS (
   SELECT cand.id_a, cand.id_b, count(*) AS n_inter
   FROM cand
@@ -555,15 +553,15 @@ WHERE i.n_inter / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {NGRAM_MIN_JA
 
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via the inverted shingle index
-    (deterministic sibling of MinHash banding; df-capped for scale)."""
+    """Exact n-gram-Jaccard near-dup pairs via the prefix-filtered inverted
+    shingle index (deterministic sibling of MinHash banding; complete for
+    J >= t — no df cap needed, so the oracle is the exact pair set)."""
     from locus_spark.operators.dedup import ngram_jaccard_pairs
 
     derived.register_base_tables(spark, sf_dir)
     return ngram_jaccard_pairs(
         spark.table("documents"),
         min_jaccard=NGRAM_MIN_JACCARD,
-        max_df=NGRAM_MAX_DF,
     )
 
 

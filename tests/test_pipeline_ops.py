@@ -92,6 +92,70 @@ def test_minhash_duplicate_cluster_skew(spark):
     assert len(cross) == 40 and all(0 < j < 1 for j in cross.values())
 
 
+def test_simhash_duplicate_cluster_skew(spark):
+    """A 40-doc identical-text cluster (identical fingerprints share all 4
+    band keys — the band-join analogue of the MinHash r1 hazard): only one
+    representative per distinct fp is banded; all C(40,2) within-cluster
+    pairs come out with Hamming 0, and the variant doc pairs with every
+    cluster member at one common distance via group expansion.  The variant
+    word is chosen so its fingerprint sits at Hamming 4 from the base AND
+    deterministically shares a 16-bit band — 4×16 banding only GUARANTEES
+    candidates at Hamming ≤ 3 (pigeonhole), so an arbitrary suffix (e.g.
+    " zzz", Hamming 8, no shared band) is legitimately not a candidate."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en", "s", len(base)) for i in range(40)]
+    rows.append((99, base + " qux", "en", "s", 5))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(df, 64).collect()}
+    within = {(a, b): h for (a, b), h in pairs.items() if b != 99}
+    assert len(within) == 40 * 39 // 2
+    assert all(h == 0 for h in within.values())
+    cross = {(a, b): h for (a, b), h in pairs.items() if b == 99}
+    assert len(cross) == 40 and len(set(cross.values())) == 1
+    assert all(h > 0 for h in cross.values())
+
+
+def test_embedding_near_dup_jittered_recall(spark):
+    """Recall at the threshold margin: planted near-dup pairs that are NOT
+    positive scalings (additive jitter flips hyperplane signs with the
+    probability the single-table r2 path ignored).  The 8-table union must
+    recover >= 0.9 of pairs whose true cosine clears the threshold."""
+    import random
+
+    from locus_spark.operators.ann import cosine_expr, embedding_near_dups
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        # jitter sized for cos ≈ 0.95: |noise| ≈ 0.33·|v| ⟹ angle ≈ 18°
+        w = [x + rng.gauss(0, 0.33) for x in v]
+        rows.append((i, v))
+        rows.append((1000 + i, w))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    # ground truth: which planted pairs actually clear the threshold
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_b") == F.col("id_a") + 1000)
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 50  # the jitter scale really does land near the margin
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+    # and nothing below threshold sneaks through (exact verify)
+    assert all(pair in truth for pair in got if pair[1] == pair[0] + 1000)
+
+
 def test_ngram_jaccard_inverted_index(docs):
     from locus_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -102,13 +166,83 @@ def test_ngram_jaccard_inverted_index(docs):
     assert pairs[(0, 1)] == 1.0                    # exact dup
     assert (0, 2) in pairs and 0.2 <= pairs[(0, 2)] < 1
     assert (0, 4) not in pairs                     # disjoint shingles
-    # df cap drops frequent shingles from the index: with max_df=1 the
-    # shingles shared by the 0/1/2 cluster (df 2-3) can't generate candidates
+    # optional df valve drops frequent shingles from the index: with max_df=1
+    # the rep-level shingles shared by the 0/1/2 cluster (df 2) can't generate
+    # cross candidates; the pre-grouped exact-dup pair (0,1) is still emitted
     capped = {
         (r.id_a, r.id_b)
         for r in ngram_jaccard_pairs(docs, min_jaccard=0.2, max_df=1).collect()
     }
-    assert capped == set()
+    assert capped == {(0, 1)}
+
+
+def test_ngram_jaccard_duplicate_cluster_skew(spark):
+    """Identical-text clusters are pre-grouped before the inverted index:
+    all C(30,2) within-cluster pairs at jaccard 1.0, each cluster member
+    paired with the near-dup variant at one common jaccard < 1."""
+    from locus_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en", "s", len(base)) for i in range(30)]
+    rows.append((99, base + " with one change", "en", "s", 5))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.2).collect()
+    }
+    within = {(a, b): j for (a, b), j in pairs.items() if b != 99}
+    assert len(within) == 30 * 29 // 2
+    assert all(j == 1.0 for j in within.values())
+    cross = {(a, b): j for (a, b), j in pairs.items() if b == 99}
+    assert len(cross) == 30 and len(set(cross.values())) == 1
+    assert all(0.2 <= j < 1 for j in cross.values())
+
+
+def test_ngram_jaccard_prefix_filter_complete(spark):
+    """Prefix-filter completeness: vs a brute-force jaccard over all pairs,
+    the prefix-indexed plan must return exactly the J >= t set."""
+    import itertools
+    import random
+
+    from locus_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(40):
+        if i % 3 == 0 and texts:
+            # mutated copy of an earlier doc → pairs near the threshold
+            base = texts[rng.randrange(len(texts))].split(" ")
+            j = rng.randrange(len(base))
+            base[j] = rng.choice(vocab)
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14))))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def shingles(t):
+        ts = [w for w in t.split(" ") if w]
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    t = 0.4
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= t:
+            want[(a, b)] = inter / (len(sa) + len(sb) - inter)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, min_jaccard=t).collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_token_stats_and_quality(docs):
