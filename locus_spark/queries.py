@@ -166,16 +166,39 @@ def kd_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _persisted_points_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert-clustered points layout, checkpointed per sf_dir; repeated
-    queries resume with a plain parquet read (manifest fingerprint match)."""
+def _parquet_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Checkpoint-resume fingerprint of the ACTUAL input state: size + mtime
+    of every file under each table's parquet path.  A path-derived tag alone
+    can never mismatch — if the driver regenerated an sf_dir in place, a
+    stale checkpoint would be silently reused and persisted-layout queries
+    would answer from old data."""
+    import os
+    import pathlib as _pl
+
+    parts = [sf_dir]
+    for t in tables:
+        p = _pl.Path(sf_dir) / f"{t}.parquet"
+        files = sorted(p.rglob("*")) if p.is_dir() else [p]
+        for f in files:
+            if f.is_file():
+                st = os.stat(f)
+                parts.append(f"{f.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _index_checkpoint(sf_dir: str):
     import tempfile
 
-    from locus_spark.cells import cluster_by_hilbert
     from locus_spark.sources.checkpoint import StageCheckpoint
 
     tag = sf_dir.strip("/").replace("/", "_")
-    ck = StageCheckpoint(f"{tempfile.gettempdir()}/locus_spark_index/{tag}")
+    return StageCheckpoint(f"{tempfile.gettempdir()}/locus_spark_index/{tag}")
+
+
+def _persisted_points_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered points layout, checkpointed per sf_dir; repeated
+    queries resume with a plain parquet read (manifest fingerprint match)."""
+    from locus_spark.cells import cluster_by_hilbert
 
     def build() -> DataFrame:
         pts = derived.load(spark, sf_dir, "points")
@@ -185,7 +208,12 @@ def _persisted_points_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hkey"
         )
 
-    return ck.run_stage(spark, "points_hilbert", build, fingerprint=sf_dir)
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "points_hilbert",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "customer"),
+    )
 
 
 @register("kd_find_box_persisted", _FIND_BOX_ORACLE)
@@ -907,6 +935,11 @@ SELECT media_id, kind,
        CAST(sum(b * b) AS DOUBLE) / CAST(n AS DOUBLE) AS f7
 FROM chars
 GROUP BY media_id, kind, n
+UNION ALL
+-- empty payload: the chars unnest drops the group entirely, but
+-- fake_decode_stats returns an all-zero feature row for it
+SELECT media_id, kind, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0
+FROM src WHERE len(text) = 0
 """
 
 
@@ -934,12 +967,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # pages pipeline (north-rule input shape: url, warc_ts, html, text, lang) —
-# synthesized deterministically (sources/synth.py), so these are rows-only
-# checks; the byte-identity invariant is asserted in tests/test_pages_pipeline.py
+# synthesized deterministically (sources/synth.py).  The geocoded table is
+# materialized ONCE through a StageCheckpoint; every pages query (and its
+# DuckDB oracle) reads the SAME persisted parquet, which upgrades all three
+# from rows-only to value-level checks: the xxhash64-geocoded coordinates
+# and url ids are computed Spark-side and STORED, so the oracle never needs
+# a hash builtin — it just reads the files.
 # ===========================================================================
 
 PAGES_N = 20_000
 PAGES_GRID_RES = 6
+
+import tempfile as _tempfile  # noqa: E402
+
+_PAGES_CK_ROOT = f"{_tempfile.gettempdir()}/locus_spark_pages"
+#: the pages input is code-generated (no files to stat), so the honest
+#: fingerprint is a code-version tag — BUMP whenever synth/extract/geocode
+#: semantics change, or stale checkpoints will be resumed.
+PAGES_FINGERPRINT = f"synth-v1-n{PAGES_N}"
+#: parquet data dir of the persisted stage (the path the oracles read)
+PAGES_DATA_DIR = f"{_PAGES_CK_ROOT}/geocoded_n{PAGES_N}/data"
 
 
 def _geocoded_pages(spark: SparkSession):
@@ -949,12 +996,47 @@ def _geocoded_pages(spark: SparkSession):
     return geocode(synth_pages_extracted(spark, PAGES_N, partitions=8))
 
 
-@register("pages_geotile_lang", None)  # synth source — rows-only check
+def _persisted_geocoded_pages(spark: SparkSession) -> DataFrame:
+    """synth → extract → geocode, materialized once (build-once/query-many —
+    the pipeline analogue of the persisted spatial layouts above)."""
+    from locus_spark.sources.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(_PAGES_CK_ROOT)
+
+    def build() -> DataFrame:
+        geo = _geocoded_pages(spark)
+        return geo.select(
+            "url",
+            F.xxhash64("url").alias("id"),
+            "lang",
+            "text",
+            "extracted",
+            "x",
+            "y",
+        )
+
+    return ck.run_stage(
+        spark, f"geocoded_n{PAGES_N}", build, fingerprint=PAGES_FINGERPRINT
+    )
+
+
+#: PAGES_GRID_RES == SF_RESOLUTION == 6, so the persisted pages share the
+#: WORLD_GRID tile math (5.625 x 2.8125 — exact dyadic cell extents).
+_PAGES_GEOTILE_ORACLE = f"""
+SELECT {_TILE_X} AS tile_x, {_TILE_Y} AS tile_y, lang, count(*) AS n
+FROM read_parquet('{PAGES_DATA_DIR}/*.parquet')
+GROUP BY 1, 2, 3
+"""
+
+
+@register("pages_geotile_lang", _PAGES_GEOTILE_ORACLE)
 def q_pages_geotile_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pages pipeline: synth → extract → geocode → per-(tile, lang)
-    rollup.  The batch shape of the 10^12-row production job (jobs/run.py)."""
+    """Full pages pipeline: synth → extract → geocode (persisted once) →
+    per-(tile, lang) rollup.  The batch shape of the 10^12-row production
+    job (jobs/run.py); value-checked against DuckDB over the persisted
+    parquet."""
     grid = GridSpec(-180.0, -90.0, 180.0, 90.0, PAGES_GRID_RES)
-    geo = _geocoded_pages(spark)
+    geo = _persisted_geocoded_pages(spark)
     return (
         geo.select(
             grid.cell_x_col(F.col("x")).alias("tile_x"),
@@ -966,25 +1048,52 @@ def q_pages_geotile_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pages_extract_identity", None)  # synth source — rows-only check
+_PAGES_IDENTITY_ORACLE = f"""
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_identical
+FROM read_parquet('{PAGES_DATA_DIR}/*.parquet')
+GROUP BY lang
+"""
+
+
+@register("pages_extract_identity", _PAGES_IDENTITY_ORACLE)
 def q_pages_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity audit: per-lang page counts vs rows where the vectorized
     extractor reproduced the source text exactly (input_hint invariant)."""
-    geo = _geocoded_pages(spark)
+    geo = _persisted_geocoded_pages(spark)
     return geo.groupBy("lang").agg(
         F.count("*").alias("n_pages"),
         F.sum((F.col("extracted") == F.col("text")).cast("long")).alias("n_identical"),
     )
 
 
-@register("pages_knn", None)  # synth source — rows-only check
+_D2_PAGES = sql_dist2_point_point("g.x", "g.y", "p.qx", "p.qy")
+
+_PAGES_KNN_ORACLE = f"""
+WITH geo AS (
+  SELECT id, x, y FROM read_parquet('{PAGES_DATA_DIR}/*.parquet')
+), probes AS (
+  SELECT id AS qid, x AS qx, y AS qy FROM geo WHERE id % 200 = 0
+), cand AS (
+  SELECT p.qid AS qid, g.id AS id, g.x AS x, g.y AS y, {_D2_PAGES} AS dist2
+  FROM probes p CROSS JOIN geo g
+), ranked AS (
+  SELECT qid, id, x, y, dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, id) AS rn
+  FROM cand
+)
+SELECT qid, id, x, y, dist2, rn FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@register("pages_knn", _PAGES_KNN_ORACLE)
 def q_pages_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship production shape: exact kNN join over geocoded pages (probes =
-    a deterministic 1-in-200 url sample)."""
+    """Flagship production shape: exact kNN join over the persisted geocoded
+    pages (probes = a deterministic 1-in-200 id sample; ``pmod(id,200)==0``
+    agrees with the oracle's ``id % 200 = 0`` — both mean divisible)."""
     grid = GridSpec(-180.0, -90.0, 180.0, 90.0, PAGES_GRID_RES)
-    geo = _geocoded_pages(spark).select(
-        F.xxhash64("url").alias("id"), "x", "y"
-    )
+    geo = _persisted_geocoded_pages(spark).select("id", "x", "y")
     probes = geo.filter(F.pmod(F.col("id"), F.lit(200)) == 0).select(
         F.col("id").alias("qid"), "x", "y"
     )

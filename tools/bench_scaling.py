@@ -50,10 +50,11 @@ def run_level(rows: int, probes: int, cores: int) -> dict:
         "--checkpoint", f"/tmp/locus_scaling_ck_{cores}",
     ]
     # saturated low-core local runs occasionally lose a Python Arrow worker
-    # to a socket reset in this sandbox; one retry resumes the level from
-    # its completed checkpointed stages (--fresh only on the first attempt)
+    # to a socket reset in this sandbox; retries rerun with --fresh so every
+    # attempt measures the SAME full work — a resumed retry would skip
+    # completed checkpointed stages and report inflated build throughput
     for attempt in (1, 2):
-        cmd = base + (["--fresh"] if attempt == 1 else [])
+        cmd = base + ["--fresh"]
         proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         if proc.returncode == 0:
             break
@@ -66,7 +67,9 @@ def run_level(rows: int, probes: int, cores: int) -> dict:
     for line in out.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            parsed = json.loads(line)
+            parsed["retried"] = attempt > 1
+            return parsed
     raise RuntimeError(f"no JSON line in jobs/run.py output:\n{out[-2000:]}")
 
 
@@ -100,6 +103,10 @@ def main() -> None:
         "throughput_high": {m: hi[m] for m in METRICS if m in hi},
         "efficiency": eff,
         "flagship_knn_efficiency": eff.get("knn_rows_per_s"),
+        "retried_levels": {
+            "low": bool(lo.get("retried")),
+            "high": bool(hi.get("retried")),
+        },
     }
     print(json.dumps(report))
 
