@@ -71,6 +71,45 @@ def find_subsets_join(
     return joined.filter(_subset_pred("", "_q")).select("qid", *BOX_COLS)
 
 
+def find_subsets_over_layout(
+    layout: DataFrame, query_boxes: DataFrame, grid: GridSpec
+) -> DataFrame:
+    """Containment search over a PERSISTED Hilbert-clustered boxes layout —
+    the build-once/query-many contract of the reference R-tree
+    (``/root/reference/locus/r.py:31-60``: pack in ``__init__``, then many
+    read-only queries).
+
+    The layout stores each box's min-corner ``cell`` (the same key
+    :func:`find_subsets_join` uses: a contained box's min corner lies inside
+    the probe box, so its cell is in the probe's covering range — closed
+    cell mapping ⇒ safe superset).  Probe boxes compile to a literal
+    ``cell IN (...)`` predicate pushed into the parquet scan (row-group
+    pruning — the distributed analogue of the R-tree subtree skip,
+    ``/root/reference/locus/_core/r.py:164-172``); the probe table must be
+    small (collected to build the literal, same bound as broadcasting it).
+    Returns ``(qid, id, min_x, max_x, min_y, max_y)``."""
+    rows = query_boxes.select("qid", "min_x", "max_x", "min_y", "max_y").collect()
+    cells: set[int] = set()
+    for r in rows:
+        cx0, cy0 = grid.cell_xy_of(r.min_x, r.min_y)
+        cx1, cy1 = grid.cell_xy_of(r.max_x, r.max_y)
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                cells.add(cx * grid.n + cy)
+    pruned = layout.filter(F.col("cell").isin(sorted(cells)))
+    qb = F.broadcast(
+        query_boxes.select(
+            "qid",
+            F.col("min_x").alias("_qmin_x"),
+            F.col("max_x").alias("_qmax_x"),
+            F.col("min_y").alias("_qmin_y"),
+            F.col("max_y").alias("_qmax_y"),
+        )
+    )
+    joined = qb.join(pruned, _subset_pred("", "_q"))
+    return joined.select("qid", *BOX_COLS)
+
+
 def find_supersets_join(
     boxes: DataFrame,
     query_boxes: DataFrame,

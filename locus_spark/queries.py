@@ -237,6 +237,52 @@ def kd_knn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(layout, qp, KNN_K, grid=WORLD_GRID)
 
 
+def _persisted_boxes_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered boxes layout (keyed/clustered by the min-corner
+    cell — the same key ``find_subsets_join`` prunes on), checkpointed per
+    sf_dir.  The reference analogue is the packed R-tree build
+    (``/root/reference/locus/r.py:31-60``)."""
+    from locus_spark.cells import cluster_by_hilbert
+
+    def build() -> DataFrame:
+        b = derived.load(spark, sf_dir, "boxes")
+        return cluster_by_hilbert(
+            b, WORLD_GRID, x="min_x", y="min_y", num_partitions=8
+        ).sortWithinPartitions("hkey")
+
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "boxes_hilbert",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "orders"),
+    )
+
+
+def _persisted_segments_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered segments layout (clustered by midpoint cell),
+    checkpointed per sf_dir — the reference's segmental-tree build
+    (``/root/reference/locus/segmental.py:28-77``)."""
+    from locus_spark.cells import cluster_by_hilbert
+
+    def build() -> DataFrame:
+        s = derived.load(spark, sf_dir, "segments")
+        s = s.withColumn(
+            "_mx", (F.col("x1") + F.col("x2")) * 0.5
+        ).withColumn("_my", (F.col("y1") + F.col("y2")) * 0.5)
+        return (
+            cluster_by_hilbert(s, WORLD_GRID, x="_mx", y="_my", num_partitions=8)
+            .sortWithinPartitions("hkey")
+            .drop("_mx", "_my")
+        )
+
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "segments_hilbert",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "lineitem"),
+    )
+
+
 # ===========================================================================
 # R-tree-family box queries (SURVEY.md §2.3)
 # ===========================================================================
@@ -259,6 +305,19 @@ def r_find_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = derived.load(spark, sf_dir, "boxes")
     q = derived.load(spark, sf_dir, "query_boxes")
     return find_subsets_join(b, q, grid=WORLD_GRID)
+
+
+@register("r_find_subsets_persisted", _SUBSETS_ORACLE)
+def r_find_subsets_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 containment search answered from the PERSISTED Hilbert boxes
+    layout: probe boxes compile to a literal ``cell IN (...)`` predicate
+    pushed into the parquet scan, exact closed containment in a broadcast
+    join (build-once/query-many, ``/root/reference/locus/r.py:31-60``)."""
+    from locus_spark.operators.boxes import find_subsets_over_layout
+
+    layout = _persisted_boxes_layout(spark, sf_dir)
+    qb = derived.load(spark, sf_dir, "query_boxes")
+    return find_subsets_over_layout(layout, qb, WORLD_GRID)
 
 
 _SUPERSETS_ORACLE = f"""
@@ -347,6 +406,22 @@ def seg_knn_to_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = derived.load(spark, sf_dir, "segments")
     qp = derived.load(spark, sf_dir, "query_points")
     return segment_knn_to_point_join(s, qp, KNN_K, grid=WORLD_GRID)
+
+
+@register(
+    "seg_knn_persisted",
+    _knn_oracle("segments", "query_points", _SEG_OUT, _D2_PS, KNN_K),
+)
+def seg_knn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 kNN answered from the PERSISTED Hilbert segments layout (the ring
+    planner scans the checkpointed clustered parquet instead of re-deriving
+    geometry through the DISTINCT shuffle every query) — the reference's
+    build-once segmental tree (``/root/reference/locus/segmental.py:28-77``)."""
+    layout = _persisted_segments_layout(spark, sf_dir).select(
+        "id", "x1", "y1", "x2", "y2"
+    )
+    qp = derived.load(spark, sf_dir, "query_points")
+    return segment_knn_to_point_join(layout, qp, KNN_K, grid=WORLD_GRID)
 
 
 @register(
