@@ -339,11 +339,19 @@ def generic_knn_join(
         )
         hi0 = max(0, min(hi0, max(1, grid.n // 4)))
 
+    # Incremental re-rank: only UNSETTLED probes' rows flow through the
+    # per-round dedup/window/stats path.  A probe's top-k is final the round
+    # it settles — its rows move to `done` and are never re-ranked again
+    # (the r2 plan re-windowed every probe's accumulated rows every round).
+    # `target_cells` is persisted across rounds: its lineage otherwise
+    # re-runs the scan + geometry derivation (for segments, a DISTINCT
+    # shuffle) inside every round's candidate join.
+    from pyspark import StorageLevel
+
+    target_cells = target_cells.persist(StorageLevel.MEMORY_AND_DISK)
     unsettled = probes
-    best: DataFrame | None = None
-    #: previous round's materialized frames — released once the new round's
-    #: state exists, so checkpoint blocks never accumulate across rounds
-    stale: list[DataFrame] = []
+    done: list[DataFrame] = []
+    carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
     for _ in range(max_rounds):
         hi = lo + step - 1
@@ -362,12 +370,12 @@ def generic_knn_join(
                 .withColumn("dist2", dist2)
                 .select(*out_cols)
             )
-        best = cand if best is None else best.unionByName(cand)
+        merged = cand if carried is None else carried.unionByName(cand)
         if dedup:
             # a multi-cell target may surface through several cells/rounds
-            best = best.dropDuplicates(["qid", "id"])
-        best = _truncate_lineage(
-            best.withColumn("_rn", F.row_number().over(w))
+            merged = merged.dropDuplicates(["qid", "id"])
+        merged = _truncate_lineage(
+            merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
@@ -378,7 +386,7 @@ def generic_knn_join(
                 flush=True,
             )
 
-        stats = best.groupBy("qid").agg(
+        stats = merged.groupBy("qid").agg(
             F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
         )
         n = grid.n
@@ -413,11 +421,13 @@ def generic_knn_join(
                 F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
             )
         )
-        # the new best/unsettled are materialized — the previous round's
-        # blocks are no longer reachable by any future computation
-        for old in stale:
-            old.unpersist()
-        stale = [best, unsettled]
+        # split this round's ranked rows by settledness: rows of probes NOT
+        # in the new unsettled set are final (cheap broadcast semi/anti
+        # joins over the checkpointed frame; block cleanup is the
+        # ContextCleaner's job — see _truncate_lineage)
+        still = unsettled.select("qid")
+        done.append(merged.join(still, "qid", "left_anti"))
+        carried = merged.join(still, "qid", "left_semi")
         if _DEBUG:
             print(
                 f"[knn] ring [{lo},{hi}] -> unsettled={unsettled.count()}"
@@ -431,7 +441,11 @@ def generic_knn_join(
     else:
         raise RuntimeError("generic_knn_join: ring expansion did not converge")
 
-    return best.select(
+    target_cells.unpersist()  # every output row lives in a checkpointed frame
+    out = done[0]
+    for part in done[1:]:
+        out = out.unionByName(part)
+    return out.select(
         *out_cols, F.row_number().over(w).cast("long").alias("rn")
     )
 
