@@ -127,7 +127,10 @@ def sessionize_stream(
     the current session (``last`` never moves backwards), and an event whose
     session was already emitted starts/extends a new one.  Under heavily
     out-of-order arrival the streaming output therefore diverges from
-    ``sessionize_batch`` (which sees the full history).  Idle sessions are
+    ``sessionize_batch`` (which sees the full history) — both the fold
+    behavior and the divergence are pinned by the multi-batch replay test
+    (tests/test_streaming_multimodal.py::
+    test_sessionize_stream_out_of_order_replay).  Idle sessions are
     closed by ``ProcessingTimeTimeout`` — i.e. on *processing* time, not
     event time."""
 

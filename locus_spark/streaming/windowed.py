@@ -11,6 +11,7 @@ def hourly_event_stream(
     events_path: str,
     schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming hourly event counts (tumbling window + watermark).
 
@@ -20,15 +21,18 @@ def hourly_event_stream(
     the exact distinct (exact distinct isn't incrementally computable in a
     streaming agg without full state).
 
-    Test status: the streaming forms here and in ``sessionize.py`` are
-    verified by BATCH EQUIVALENCE on a finite replayed input
-    (tests/test_streaming_multimodal.py) — no live unbounded-source run is
-    possible in this sandbox; late-data watermark behavior is declared, not
-    end-to-end exercised.
+    Test status: verified by BATCH EQUIVALENCE on a finite replayed input
+    AND by an out-of-order multi-batch replay
+    (tests/test_streaming_multimodal.py::test_windowed_stream_drops_too_late_events:
+    ``max_files_per_trigger=1`` forces one file per micro-batch, pinning
+    that a late event inside the watermark updates its window while an
+    event older than the watermark is dropped).  No live unbounded-source
+    run is possible in this sandbox.
     """
-    stream = (
-        spark.readStream.schema(schema).parquet(events_path)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))

@@ -138,6 +138,171 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     assert (2, 1) in got and got[(2, 1)] == (t0, t0)
 
 
+def _write_stream_file(spark, rows, schema, stage_dir, dst, mtime):
+    """One parquet part file with a controlled mtime — the file source
+    orders micro-batches by modification time, so this pins replay order."""
+    import glob
+    import os
+    import shutil
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(stage_dir)
+    )
+    part = glob.glob(str(stage_dir) + "/part-*.parquet")[0]
+    shutil.copy(part, str(dst))
+    os.utime(str(dst), (mtime, mtime))
+
+
+def test_windowed_stream_drops_too_late_events(spark, tmp_path):
+    """Out-of-order replay of the watermarked hourly rollup: with one file
+    per micro-batch, an event arriving late but inside the 2h watermark
+    updates its window, while an event older than the watermark is dropped
+    — the late-data semantics the docstring declares, exercised end-to-end."""
+    import datetime as dt
+    import time
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t = lambda h, m=0: dt.datetime(2026, 1, 2, h, m)  # noqa: E731
+    src = tmp_path / "late_events"
+    src.mkdir()
+    now = time.time()
+    # batch 1: on-time events at 10:00/10:30 -> watermark becomes 08:30
+    _write_stream_file(
+        spark,
+        [(1, t(10, 0), 1, "click", 1.0, ""), (2, t(10, 30), 2, "click", 1.0, "")],
+        schema,
+        tmp_path / "stage1",
+        src / "b1.parquet",
+        now - 100,
+    )
+    # batch 2: 09:00 is late but newer than the 08:30 watermark (kept)
+    _write_stream_file(
+        spark,
+        [(3, t(9, 0), 3, "click", 1.0, "")],
+        schema,
+        tmp_path / "stage2",
+        src / "b2.parquet",
+        now - 70,
+    )
+    # batch 3: 05:00 is older than the watermark (dropped).  NOTE the
+    # watermark becomes effective one batch AFTER the commit that advanced
+    # it (measured here: a too-late row in batch 2 still passes with
+    # numRowsDroppedByWatermark=0), hence the separate third file.
+    _write_stream_file(
+        spark,
+        [(4, t(5, 0), 4, "click", 1.0, "")],
+        schema,
+        tmp_path / "stage3",
+        src / "b3.parquet",
+        now - 40,
+    )
+
+    out = hourly_event_stream(
+        spark, str(src), watermark="2 hours", max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_window_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    rows = spark.table("late_window_test").collect()
+    by_hour = {}
+    for r in rows:  # update mode: last emitted row per window wins
+        by_hour[r.hour] = r.n
+    assert by_hour.get(t(10)) == 2  # on-time window complete
+    assert by_hour.get(t(9)) == 1  # late-but-inside-watermark event kept
+    assert t(5) not in by_hour  # older than watermark: dropped
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the state operator counted exactly the 05:00 row
+
+
+def test_sessionize_stream_out_of_order_replay(spark, tmp_path):
+    """Out-of-order replay of the stateful sessionizer, pinning the
+    documented ordered-arrival caveat (streaming/sessionize.py): an event
+    arriving after its session was already emitted folds into the OPEN
+    session instead (last never moves backwards), so the stream diverges
+    from the batch form, which sees full history."""
+    import datetime as dt
+    import time as _time
+
+    from locus_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    schema = "user_id long, ts timestamp"
+    t0 = dt.datetime(2026, 1, 3, 0, 0, 0)
+    m = lambda minutes: t0 + dt.timedelta(minutes=minutes)  # noqa: E731
+    src = tmp_path / "sess_replay"
+    src.mkdir()
+    now = _time.time()
+    # batch 1 opens session A (2 events); batch 2's 3h event closes A;
+    # batch 3 replays a LATE event (minute 7) that belonged in A but folds
+    # into the open 3h session, then a 6h event closes that one.
+    _write_stream_file(
+        spark, [(1, m(0)), (1, m(10))], schema, tmp_path / "s1", src / "b1.parquet",
+        now - 100,
+    )
+    _write_stream_file(
+        spark, [(1, m(180))], schema, tmp_path / "s2", src / "b2.parquet", now - 70,
+    )
+    _write_stream_file(
+        spark, [(1, m(7)), (1, m(360))], schema, tmp_path / "s3", src / "b3.parquet",
+        now - 40,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_replay_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the query alive for idle-session timeouts;
+    # poll for the two closed sessions, then stop (same harness as above).
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            if spark.table("sess_replay_test").count() >= 2:
+                break
+            _time.sleep(1)
+        got = {
+            r.session_start: (r.session_end, r.n_events)
+            for r in spark.table("sess_replay_test").collect()
+        }
+    finally:
+        q.stop()
+    # session A closed WITHOUT the late minute-7 event (already emitted)
+    assert got[m(0)] == (m(10), 2)
+    # the late event folded into the open 3h session: n=2, end NOT moved back
+    assert got[m(180)] == (m(180), 2)
+    # the batch form sees full history and puts minute 7 into session A
+    batch = {
+        r.session_start: (r.session_end, r.n_events)
+        for r in sessionize_batch(
+            spark.createDataFrame(
+                [(1, 10, m(0)), (1, 11, m(10)), (1, 12, m(180)), (1, 13, m(7)),
+                 (1, 14, m(360))],
+                "user_id long, event_id long, ts timestamp",
+            ),
+            gap_s=1800,
+        ).collect()
+    }
+    assert batch[m(0)] == (m(10), 3)  # documented divergence under disorder
+
+
 def test_frame_sample_plan(spark, media):
     out = frame_sample_plan(media, every_ms=1000)
     counts = out.groupBy("media_id").count().collect()
