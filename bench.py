@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_lang_id",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "media_features",
     "kd_knn_persisted",
     "r_find_subsets_persisted",

@@ -115,6 +115,143 @@ def lsh_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probed search —
+# the standard alternative scale path to hyperplane LSH.  Everything is
+# relational: assignment is an argmax over a literal centroid array (pure
+# Column math, whole-stage codegen), the Lloyd update is a
+# posexplode→groupBy(cid,pos)→avg (map-side combinable), and the query is a
+# cid equi-join + exact cosine + window.  Candidate volume ≈
+# n_probe/n_centroids of the corpus — the scale knob.
+# --------------------------------------------------------------------------
+
+
+def _centroid_score_structs(vec: str, centroids: list[list[float]]) -> F.Column:
+    """array<struct<c: double, i: int>> of (dot(vec, centroid_i), i).
+    Centroids are pre-normalized driver-side, so argmax dot == argmax
+    cosine; |vec| scales every entry equally and never flips the argmax
+    (dot(s·v, c) = s·dot(v, c) exactly for s a power of two)."""
+    return F.array(
+        *[
+            F.struct(
+                F.expr(
+                    _DOT.format(
+                        a=vec, b=f"array({', '.join(repr(x) for x in c)})"
+                    )
+                ).alias("c"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _normalize(c: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in c))
+    return [x / n for x in c] if n > 0 else c
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    iters: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Deterministic spherical-k-means coarse quantizer: seeded gaussian
+    init, ``iters`` distributed Lloyd rounds (assign by max cosine, update
+    by per-dimension mean).  Returns NORMALIZED centroids (unit vectors).
+
+    Scale shape: each round is one argmax-assign pass (codegen'd Column
+    math over a broadcast centroid literal) plus one
+    posexplode→groupBy(cid, pos)→avg — both map-side combinable; only
+    ``n_centroids × dim`` doubles ever reach the driver."""
+    rng = random.Random(seed)
+    centroids = [
+        _normalize([rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for _ in range(n_centroids)
+    ]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.array_max(
+                _centroid_score_structs("embedding", centroids)
+            )["i"].alias("cid"),
+            "embedding",
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(r.cid, [0.0] * dim)[r.pos] = float(r.m)
+        # empty clusters keep their previous centroid
+        centroids = [
+            _normalize(means[i]) if i in means else centroids[i]
+            for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    dim: int = 64,
+    iters: int = 2,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: the corpus is bucketed by nearest
+    centroid (inverted file); each probe scores only the vectors in its
+    ``n_probe`` nearest clusters (exact cosine + window inside them).
+
+    Exactness guarantee used by the planted-copy oracle: a positively
+    scaled copy has bit-identical cosines to every centroid (the dot scales
+    exactly, the argmax never flips), so it lands in the SAME cluster as
+    its original, and a probe's n_probe list always starts with its own
+    cluster — the copy is always scored."""
+    centroids = kmeans_centroids(embeddings, n_centroids, iters, dim, seed)
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.array_max(_centroid_score_structs("embedding", centroids))["i"].alias(
+            "_cid"
+        ),
+    )
+    pr = probes.select(
+        "qid",
+        "qvec",
+        F.explode(
+            F.slice(
+                F.sort_array(
+                    _centroid_score_structs("qvec", centroids), asc=False
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("_s"),
+    ).select("qid", "qvec", F.col("_s")["i"].alias("_cid"))
+    pairs = (
+        F.broadcast(pr)
+        .join(corpus, "_cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    scored = pairs.select(
+        "qid", "vec_id", cosine_expr("embedding", "qvec").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

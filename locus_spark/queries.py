@@ -925,6 +925,37 @@ def q_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(aug, probes, 1, n_planes=6, n_tables=8)
 
 
+@register("ann_ivf_top1_planted", _ANN_LSH_PLANTED_ORACLE)
+def q_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + cluster-probed search) with a
+    deterministic exactness guarantee: a positively scaled copy has
+    bit-identical centroid cosines (argmax never flips), so it shares its
+    original's cluster and the probe's first probed cluster always holds
+    it — top-1 over the planted corpus equals the brute-force oracle."""
+    from locus_spark.operators.ann import ivf_topk
+
+    derived.register_base_tables(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(aug, probes, 1, n_centroids=32, n_probe=4)
+
+
+@register("ann_ivf_topk", None)  # approximate path — rows-only; recall in pytest
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General IVF top-k (approximate; recall vs the exact brute force is
+    pytest-asserted, tests/test_pipeline_ops.py)."""
+    from locus_spark.operators.ann import ivf_topk
+
+    derived.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, probes, ANN_K, n_centroids=32, n_probe=4)
+
+
 @register("dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets (operators/ann.py

@@ -156,6 +156,47 @@ def test_embedding_near_dup_jittered_recall(spark):
     assert all(pair in truth for pair in got if pair[1] == pair[0] + 1000)
 
 
+def test_ivf_topk_planted_recall(spark):
+    """IVF recall at the threshold margin: jittered near-copies (cos ≈ 0.95,
+    NOT positive scalings, so cluster assignments can genuinely differ near
+    boundaries).  Probing 8 of 32 clusters must put each probe's jittered
+    copy in its candidate set >= 0.9 of the time; the exact-cosine rank
+    inside probed clusters then makes it top-1."""
+    import random
+
+    from locus_spark.operators.ann import cosine_expr, ivf_topk
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        w = [x + rng.gauss(0, 0.33) for x in v]
+        rows.append((i, v))
+        rows.append((1000 + i, w))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id < 40").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        r.qid: r.vec_id
+        for r in ivf_topk(emb, probes, 1, n_centroids=32, n_probe=8).collect()
+    }
+    # ground truth: the jittered copy is each probe's true nearest (its cos
+    # ≈ 0.95 dominates the ≲0.6 cosines between independent gaussians)
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vb_id"), F.col("embedding").alias("vb"))
+    pair_cos = {
+        r.qid: r.cos
+        for r in a.join(b, F.col("vb_id") == F.col("qid") + 1000)
+        .select("qid", cosine_expr("va", "vb").alias("cos"))
+        .collect()
+    }
+    hits = sum(1 for q, v in got.items() if v == q + 1000 and pair_cos[q] > 0.8)
+    eligible = sum(1 for q in got if pair_cos[q] > 0.8)
+    assert eligible >= 30
+    assert hits / eligible >= 0.9
+
+
 def test_ngram_jaccard_inverted_index(docs):
     from locus_spark.operators.dedup import ngram_jaccard_pairs
 
