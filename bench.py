@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_lang_id",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_top1_persisted",
     "media_features",
     "kd_knn_persisted",
     "r_find_subsets_persisted",
@@ -96,6 +97,7 @@ BUILDS = [
     ("boxes_layout", lambda s, d: q._persisted_boxes_layout(s, d)),
     ("segments_layout", lambda s, d: q._persisted_segments_layout(s, d)),
     ("geocoded_pages", lambda s, d: q._persisted_geocoded_pages(s)),
+    ("ivf_layout", lambda s, d: q._persisted_ivf_layout(s, d)[0]),
 ]
 
 

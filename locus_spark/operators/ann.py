@@ -130,19 +130,23 @@ def _centroid_score_structs(vec: str, centroids: list[list[float]]) -> F.Column:
     """array<struct<c: double, i: int>> of (dot(vec, centroid_i), i).
     Centroids are pre-normalized driver-side, so argmax dot == argmax
     cosine; |vec| scales every entry equally and never flips the argmax
-    (dot(s·v, c) = s·dot(v, c) exactly for s a power of two)."""
-    return F.array(
-        *[
-            F.struct(
-                F.expr(
-                    _DOT.format(
-                        a=vec, b=f"array({', '.join(repr(x) for x in c)})"
-                    )
-                ).alias("c"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    (dot(s·v, c) = s·dot(v, c) exactly for s a power of two).
+
+    One ``transform`` over a constant-folded array<array<double>> literal —
+    a single small expression tree regardless of n_centroids, instead of
+    n_centroids independent aggregate subtrees (which bloated codegen and
+    the broadcast task binary to >1 MiB at 32×64)."""
+    cents = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(x) for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+    return F.expr(
+        f"transform({cents}, (c, i) -> struct("
+        f"aggregate(zip_with(c, {vec}, (x, y) -> x * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS c, i AS i))"
     )
 
 
@@ -197,34 +201,27 @@ def kmeans_centroids(
     return centroids
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    probes: DataFrame,
-    k: int,
-    n_centroids: int = 32,
-    n_probe: int = 4,
-    dim: int = 64,
-    iters: int = 2,
-    seed: int = 11,
+def ivf_assign(
+    embeddings: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
-    """Approximate cosine top-k via IVF: the corpus is bucketed by nearest
-    centroid (inverted file); each probe scores only the vectors in its
-    ``n_probe`` nearest clusters (exact cosine + window inside them).
-
-    Exactness guarantee used by the planted-copy oracle: a positively
-    scaled copy has bit-identical cosines to every centroid (the dot scales
-    exactly, the argmax never flips), so it lands in the SAME cluster as
-    its original, and a probe's n_probe list always starts with its own
-    cluster — the copy is always scored."""
-    centroids = kmeans_centroids(embeddings, n_centroids, iters, dim, seed)
-    corpus = embeddings.select(
+    """(vec_id, embedding, _cid): each vector labeled with its nearest
+    centroid — the inverted file.  Persisting this partitioned by ``_cid``
+    gives partition-pruned IVF search (build once, query many)."""
+    return embeddings.select(
         "vec_id",
         "embedding",
         F.array_max(_centroid_score_structs("embedding", centroids))["i"].alias(
             "_cid"
         ),
     )
-    pr = probes.select(
+
+
+def probe_cluster_ids(
+    probes: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """(qid, qvec, _cid) — each probe exploded to its ``n_probe`` nearest
+    clusters (its own cluster is always first)."""
+    return probes.select(
         "qid",
         "qvec",
         F.explode(
@@ -237,6 +234,13 @@ def ivf_topk(
             )
         ).alias("_s"),
     ).select("qid", "qvec", F.col("_s")["i"].alias("_cid"))
+
+
+def ivf_search(
+    corpus: DataFrame, pr: DataFrame, k: int
+) -> DataFrame:
+    """Rank an assigned corpus against exploded probes: cid equi-join +
+    exact cosine + per-probe window."""
     pairs = (
         F.broadcast(pr)
         .join(corpus, "_cid")
@@ -250,6 +254,35 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    dim: int = 64,
+    iters: int = 2,
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: the corpus is bucketed by nearest
+    centroid (inverted file); each probe scores only the vectors in its
+    ``n_probe`` nearest clusters (exact cosine + window inside them).
+    Pass pre-trained ``centroids`` to skip the k-means rounds (the
+    build-once / query-many path).
+
+    Exactness guarantee used by the planted-copy oracle: a positively
+    scaled copy has bit-identical cosines to every centroid (the dot scales
+    exactly, the argmax never flips), so it lands in the SAME cluster as
+    its original, and a probe's n_probe list always starts with its own
+    cluster — the copy is always scored."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_centroids, iters, dim, seed)
+    corpus = ivf_assign(embeddings, centroids)
+    pr = probe_cluster_ids(probes, centroids, n_probe)
+    return ivf_search(corpus, pr, k)
 
 
 def embedding_near_dups(

@@ -925,6 +925,23 @@ def q_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(aug, probes, 1, n_planes=6, n_tables=8)
 
 
+#: trained IVF centroids memoized per (sf_dir, corpus tag) — k-means is
+#: deterministic (seeded init + fixed Lloyd rounds), so retraining inside
+#: every query call would only burn jobs re-deriving the same vectors.
+_IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str, tag: str, corpus: DataFrame
+) -> list[list[float]]:
+    from locus_spark.operators.ann import kmeans_centroids
+
+    key = (sf_dir, tag)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = kmeans_centroids(corpus, n_centroids=32, iters=2)
+    return _IVF_CENTROIDS[key]
+
+
 @register("ann_ivf_top1_planted", _ANN_LSH_PLANTED_ORACLE)
 def q_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + cluster-probed search) with a
@@ -939,7 +956,8 @@ def q_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(aug, probes, 1, n_centroids=32, n_probe=4)
+    cents = _ivf_centroids(spark, sf_dir, "planted", aug)
+    return ivf_topk(aug, probes, 1, n_probe=4, centroids=cents)
 
 
 @register("ann_ivf_topk", None)  # approximate path — rows-only; recall in pytest
@@ -953,7 +971,64 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(emb, probes, ANN_K, n_centroids=32, n_probe=4)
+    cents = _ivf_centroids(spark, sf_dir, "raw", emb)
+    return ivf_topk(emb, probes, ANN_K, n_probe=4, centroids=cents)
+
+
+def _persisted_ivf_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build-once inverted file over the planted corpus: vectors assigned to
+    their nearest centroid and written as parquet PARTITIONED BY the cluster
+    id, with the trained centroids in a sidecar JSON.  Query-many runs read
+    back only the probed clusters' partitions (directory-level pruning) —
+    at 100 TB this is what makes IVF search touch n_probe/n_centroids of
+    the corpus bytes, not just rows."""
+    import json as _json
+
+    from locus_spark.operators.ann import ivf_assign
+
+    ck = _index_checkpoint(sf_dir)
+    side = ck.root / "ivf_planted" / "centroids.json"
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
+
+    def build() -> DataFrame:
+        aug = spark.sql(_EMB_AUG_SPARK)
+        cents = _ivf_centroids(spark, sf_dir, "planted", aug)
+        side.parent.mkdir(parents=True, exist_ok=True)
+        side.write_text(_json.dumps(cents))
+        return ivf_assign(aug, cents)
+
+    layout = ck.run_stage(
+        spark, "ivf_planted", build, fingerprint=fp, partition_by=["_cid"]
+    )
+    if not side.exists():  # resumed from a manifest written without the sidecar
+        aug = spark.sql(_EMB_AUG_SPARK)
+        side.write_text(
+            _json.dumps(_ivf_centroids(spark, sf_dir, "planted", aug))
+        )
+    return layout, _json.loads(side.read_text())
+
+
+@register("ann_ivf_top1_persisted", _ANN_LSH_PLANTED_ORACLE)
+def q_ann_ivf_top1_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-1 answered from the PERSISTED inverted file: probes compile
+    their n_probe cluster ids to a literal ``_cid IN (...)`` predicate that
+    prunes parquet partitions at the scan (small-probe contract, same bound
+    as ``find_box_over_layout``); exact cosine + window inside the read
+    clusters.  Same planted full-equality oracle as the from-scratch form."""
+    from locus_spark.operators.ann import ivf_search, probe_cluster_ids
+
+    derived.register_base_tables(spark, sf_dir)
+    layout, cents = _persisted_ivf_layout(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pr = probe_cluster_ids(probes, cents, n_probe=4)
+    cids = sorted(r["_cid"] for r in pr.select("_cid").distinct().collect())
+    corpus = layout.filter(F.col("_cid").isin(cids))
+    return ivf_search(corpus, pr, 1)
 
 
 @register("dedup_embedding_lsh", _EMB_LSH_ORACLE)

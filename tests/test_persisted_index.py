@@ -131,3 +131,51 @@ def test_segments_layout_resume_and_parity(spark, tmp_path):
         for r in segment_knn_to_point_join(sdf, probes, 3, grid=grid).collect()
     }
     assert got == want and len(got) == 9
+
+
+def test_ivf_layout_parity_and_partition_pruning(spark, tmp_path):
+    """Persisted inverted file (parquet partitioned by cluster id): search
+    over the layout equals the from-scratch IVF search, and the probes'
+    ``_cid IN (...)`` literal prunes partitions at the scan (the layout is
+    directory-partitioned, so unprobed clusters' bytes are never read)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from locus_spark.operators.ann import (
+        ivf_assign,
+        ivf_search,
+        ivf_topk,
+        kmeans_centroids,
+        probe_cluster_ids,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(800)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2, dim=16)
+
+    path = str(tmp_path / "ivf")
+    ivf_assign(emb, cents).write.partitionBy("_cid").parquet(path)
+    layout = spark.read.parquet(path)
+
+    probes = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pr = probe_cluster_ids(probes, cents, n_probe=2)
+    cids = sorted(r["_cid"] for r in pr.select("_cid").distinct().collect())
+    out = ivf_search(layout.filter(F.col("_cid").isin(cids)), pr, 3)
+
+    got = {(r.qid, r.rn): (r.vec_id, round(r.cos, 12)) for r in out.collect()}
+    want = {
+        (r.qid, r.rn): (r.vec_id, round(r.cos, 12))
+        for r in ivf_topk(emb, probes, 3, n_probe=2, centroids=cents).collect()
+    }
+    assert got == want and len(got) == 18
+
+    plan = _explain_str(out)
+    # partition-column filter: pruning happens at planning (PartitionFilters
+    # on the scan), not as a data filter
+    assert "_cid" in plan.split("PartitionFilters")[1][:200]
