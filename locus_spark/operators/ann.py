@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,37 +119,37 @@ def lsh_topk(
 
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probed search —
-# the standard alternative scale path to hyperplane LSH.  Everything is
-# relational: assignment is an argmax over a literal centroid array (pure
-# Column math, whole-stage codegen), the Lloyd update is a
-# posexplode→groupBy(cid,pos)→avg (map-side combinable), and the query is a
+# the standard alternative scale path to hyperplane LSH.  Centroid scoring is
+# an Arrow-vectorized pandas_udf (one numpy V @ C.T matmul per batch — NOT
+# per-row Python; ~100× the interpreted higher-order-function form, whose
+# per-row lambda walk dominated wall time at 50k×32×64).  The Lloyd update is
+# a posexplode→groupBy(cid,pos)→avg (map-side combinable), and the query is a
 # cid equi-join + exact cosine + window.  Candidate volume ≈
 # n_probe/n_centroids of the corpus — the scale knob.
 # --------------------------------------------------------------------------
 
 
-def _centroid_score_structs(vec: str, centroids: list[list[float]]) -> F.Column:
-    """array<struct<c: double, i: int>> of (dot(vec, centroid_i), i).
-    Centroids are pre-normalized driver-side, so argmax dot == argmax
-    cosine; |vec| scales every entry equally and never flips the argmax
-    (dot(s·v, c) = s·dot(v, c) exactly for s a power of two).
+def _top_cids_udf(centroids: list[list[float]], n: int):
+    """pandas_udf: embedding -> array<int> of the ``n`` highest-dot centroid
+    ids, score-desc (ties: lower id first — stable argsort, matching the
+    argmax-lowest-wins of the n=1 assignment path).
 
-    One ``transform`` over a constant-folded array<array<double>> literal —
-    a single small expression tree regardless of n_centroids, instead of
-    n_centroids independent aggregate subtrees (which bloated codegen and
-    the broadcast task binary to >1 MiB at 32×64)."""
-    cents = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(repr(x) for x in c) + ")" for c in centroids
-        )
-        + ")"
-    )
-    return F.expr(
-        f"transform({cents}, (c, i) -> struct("
-        f"aggregate(zip_with(c, {vec}, (x, y) -> x * CAST(y AS DOUBLE)),"
-        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS c, i AS i))"
-    )
+    Centroids are pre-normalized driver-side, so top-by-dot == top-by-cosine;
+    |vec| scales every score equally and never reorders them (numpy computes
+    dot(s·v, c) = s·dot(v, c) exactly for s a power of two, so a planted
+    scaled copy ranks centroids identically to its original — the property
+    the planted-copy oracle relies on)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @pandas_udf("array<int>")
+    def top_cids(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        order = np.argsort(-(v @ mat), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return top_cids
 
 
 def _normalize(c: list[float]) -> list[float]:
@@ -168,8 +170,8 @@ def kmeans_centroids(
     init, ``iters`` distributed Lloyd rounds (assign by max cosine, update
     by per-dimension mean).  Returns NORMALIZED centroids (unit vectors).
 
-    Scale shape: each round is one argmax-assign pass (codegen'd Column
-    math over a broadcast centroid literal) plus one
+    Scale shape: each round is one argmax-assign pass (Arrow-batched numpy
+    matmul against the closure-captured centroid matrix) plus one
     posexplode→groupBy(cid, pos)→avg — both map-side combinable; only
     ``n_centroids × dim`` doubles ever reach the driver."""
     rng = random.Random(seed)
@@ -179,9 +181,9 @@ def kmeans_centroids(
     ]
     for _ in range(iters):
         assigned = embeddings.select(
-            F.array_max(
-                _centroid_score_structs("embedding", centroids)
-            )["i"].alias("cid"),
+            F.element_at(
+                _top_cids_udf(centroids, 1)("embedding"), 1
+            ).alias("cid"),
             "embedding",
         )
         rows = (
@@ -210,9 +212,7 @@ def ivf_assign(
     return embeddings.select(
         "vec_id",
         "embedding",
-        F.array_max(_centroid_score_structs("embedding", centroids))["i"].alias(
-            "_cid"
-        ),
+        F.element_at(_top_cids_udf(centroids, 1)("embedding"), 1).alias("_cid"),
     )
 
 
@@ -220,20 +220,13 @@ def probe_cluster_ids(
     probes: DataFrame, centroids: list[list[float]], n_probe: int
 ) -> DataFrame:
     """(qid, qvec, _cid) — each probe exploded to its ``n_probe`` nearest
-    clusters (its own cluster is always first)."""
+    clusters.  Same scorer (and tie rule) as ``ivf_assign``, so a probe's
+    own cluster is always its first probed cluster."""
     return probes.select(
         "qid",
         "qvec",
-        F.explode(
-            F.slice(
-                F.sort_array(
-                    _centroid_score_structs("qvec", centroids), asc=False
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("_s"),
-    ).select("qid", "qvec", F.col("_s")["i"].alias("_cid"))
+        F.explode(_top_cids_udf(centroids, n_probe)("qvec")).alias("_cid"),
+    )
 
 
 def ivf_search(
@@ -285,41 +278,78 @@ def ivf_topk(
     return ivf_search(corpus, pr, k)
 
 
+def _sign_buckets_udf(plane_sets: list[list[list[float]]]):
+    """pandas_udf: embedding -> array<long> of one sign-bucket id per table,
+    all ``b × r`` hyperplane dots in a single Arrow-batched numpy matmul.
+    Buckets only GATE candidate generation (never output values), so the
+    numpy dot needs no bit-parity with the SQL dot — only scale-invariance:
+    sign(dot(s·v, p)) == sign(dot(v, p)) exactly for s > 0, so a planted
+    positive scaling shares every bucket with its original."""
+    from pyspark.sql.functions import pandas_udf
+
+    b, r = len(plane_sets), len(plane_sets[0])
+    mat = np.asarray(
+        [pl for planes in plane_sets for pl in planes], dtype=np.float64
+    ).T  # (dim, b*r)
+    weights = 1 << np.arange(r, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        signs = (v @ mat) > 0.0
+        ids = (signs.reshape(len(v), b, r) * weights).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int = 16,
+    n_tables: int = 32,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane LSH
     (exact cosine verified on every candidate).  Returns (id_a, id_b, cos).
 
-    Candidates are unioned over ``n_tables`` independent plane sets — a
-    single table's recall at the threshold margin is useless (one 12-plane
-    table keeps a cos≈0.95 pair with probability ≈0.9¹²≈0.28); with the
-    8×8 default a pair at cos 0.95 collides in at least one table with
-    probability 1-(1-0.91⁸)⁸ ≈ 0.99 (measured in
-    tests/test_pipeline_ops.py::test_embedding_near_dup_jittered_recall).
-    Exact-cosine verification means extra candidates cost time, never
-    correctness.  Candidate volume ≈ ``n_tables / 2^n_planes`` of the pair
-    space — the scale knob for 10^12-row runs."""
-    cand = None
-    for t in range(n_tables):
-        planes = make_planes(dim, n_planes, seed=7 + 131 * t)
-        c = embeddings.withColumn("_bucket", _bucket_col("embedding", planes))
-        a = c.select(
-            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket"
-        )
-        b = c.select(
-            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_bucket"
-        )
-        p = (
-            a.join(b, "_bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    pairs = cand.dropDuplicates(["id_a", "id_b"])
+    Candidate generation is ONE self-equi-join: every vector explodes to its
+    (table, bucket) keys — 16-byte rows, no vector payload — and pairs
+    sharing a key in any table survive a distinct.  Only the distinct
+    survivors re-join the corpus (twice, on vec_id) to fetch vectors for the
+    exact-cosine verify, so the wide 8·dim-byte embeddings never ride
+    through the candidate shuffle (the r2 form shuffled them through every
+    per-table join + the dedup and was 5× slower than the single-table it
+    replaced).
+
+    AND-OR tuning (16 planes AND within a table, 32 tables OR): a pair at
+    cos 0.90 collides in at least one table with probability
+    1-(1-0.856¹⁶)³² ≈ 0.94, at cos 0.95 ≈ 0.998 (measured in
+    tests/test_pipeline_ops.py::test_embedding_near_dup_jittered_recall),
+    while an unrelated pair (cos≈0) survives with 32/2¹⁶ ≈ 0.05% — the
+    r=8 table of r2 let 3% of ALL pairs through, which is what exploded the
+    candidate volume.  Exact-cosine verification means extra candidates
+    cost time, never correctness."""
+    plane_sets = [
+        make_planes(dim, n_planes, seed=7 + 131 * t) for t in range(n_tables)
+    ]
+    bk = embeddings.select(
+        "vec_id",
+        F.posexplode(_sign_buckets_udf(plane_sets)("embedding")).alias(
+            "_t", "_bkt"
+        ),
+    )
+    a = bk.select(F.col("vec_id").alias("id_a"), "_t", "_bkt")
+    b = bk.select(F.col("vec_id").alias("id_b"), "_t", "_bkt")
+    ids = (
+        a.join(b, ["_t", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # vec_id equi-joins; AQE broadcasts the corpus side when it fits
+    pairs = ids.join(va, "id_a").join(vb, "id_b")
     scored = pairs.select("id_a", "id_b", cosine_expr("va", "vb").alias("cos"))
     return scored.filter(F.col("cos") >= threshold)
