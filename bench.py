@@ -54,6 +54,7 @@ HEADLINE = [
     "r_find_subsets_persisted",
     "seg_knn_persisted",
     "events_hourly",
+    "events_dedup_replayed",
     "media_frame_sample",
     "pages_geotile_lang",
     "pages_knn",

@@ -1292,6 +1292,30 @@ FROM events
 GROUP BY 1, 2
 """
 
+# at-least-once ingest fixture: the unique-keyed events table with two
+# deterministic redelivery waves (exact row copies, as a replaying transport
+# produces) — dedup must return exactly the original table
+_EVENTS_REPLAYED = """
+SELECT * FROM events
+UNION ALL SELECT * FROM events WHERE event_id % 7 = 0
+UNION ALL SELECT * FROM events WHERE event_id % 13 = 0
+"""
+
+_EVENTS_DEDUP_ORACLE = f"SELECT DISTINCT * FROM ({_EVENTS_REPLAYED})"
+
+
+@register("events_dedup_replayed", _EVENTS_DEDUP_ORACLE)
+def q_events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion dedup over an at-least-once replayed feed — the batch form
+    of ``streaming/dedup.dedup_events_stream`` (watermark-bounded
+    ``dropDuplicatesWithinWatermark``, redelivery replay pytest).
+    Redeliveries are exact copies, so ``dropDuplicates`` on the key is
+    value-deterministic and equals the oracle's ``SELECT DISTINCT *``."""
+    from locus_spark.streaming.dedup import dedup_events_batch
+
+    derived.register_base_tables(spark, sf_dir)
+    return dedup_events_batch(spark.sql(_EVENTS_REPLAYED))
+
 
 _SESSIONIZE_ORACLE = """
 WITH o AS (

@@ -307,3 +307,56 @@ def test_frame_sample_plan(spark, media):
     out = frame_sample_plan(media, every_ms=1000)
     counts = out.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in counts)  # 0,1000,2000,3000 for 3500ms
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """Multi-batch redelivery replay of the watermark-bounded ingest dedup:
+    an exact copy of an already-seen key arriving in a LATER micro-batch
+    (inside the watermark) is dropped; a fresh key in the same batch passes;
+    and the result equals the batch form over the concatenated input."""
+    import datetime as dt
+    import time
+
+    from locus_spark.streaming.dedup import (
+        dedup_events_batch,
+        dedup_events_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t = lambda h, m=0: dt.datetime(2026, 1, 2, h, m)  # noqa: E731
+    src = tmp_path / "replayed_events"
+    src.mkdir()
+    now = time.time()
+    b1 = [
+        (1, t(10, 0), 1, "click", 1.0, ""),
+        (2, t(10, 30), 2, "view", 2.0, ""),
+    ]
+    # batch 2: event 1 redelivered (exact copy, inside the 2h watermark)
+    # alongside a fresh event 3
+    b2 = [
+        (1, t(10, 0), 1, "click", 1.0, ""),
+        (3, t(10, 45), 3, "click", 3.0, ""),
+    ]
+    _write_stream_file(spark, b1, schema, tmp_path / "s1", src / "b1.parquet", now - 100)
+    _write_stream_file(spark, b2, schema, tmp_path / "s2", src / "b2.parquet", now - 50)
+
+    out = dedup_events_stream(
+        spark, str(src), watermark="2 hours", max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    got = {r.event_id for r in spark.table("dedup_stream_test").collect()}
+    assert got == {1, 2, 3}  # the redelivered copy of 1 appears exactly once
+    assert spark.table("dedup_stream_test").count() == 3
+
+    batch = dedup_events_batch(spark.createDataFrame(b1 + b2, schema))
+    assert {r.event_id for r in batch.collect()} == got
