@@ -111,10 +111,8 @@ def main() -> None:
     print(json.dumps(report))
 
     lines = [
-        "# BENCH — two-cluster-size scaling evidence",
-        "",
         "North-rule criterion: throughput scaling efficiency >= 0.8 from N to",
-        f"4N executors, evidenced here (per driver instruction — no real cluster",
+        "4N executors, evidenced here (per driver instruction — no real cluster",
         f"in this sandbox) by the identical job at `local[{args.low}]` vs",
         f"`local[{args.high}]` on the same deterministic input",
         f"({args.rows:,} synthetic pages, {args.probes:,} kNN probes, k=5).",
@@ -142,9 +140,23 @@ def main() -> None:
         "",
         "Reproduce: `python tools/bench_scaling.py"
         f" --rows {args.rows} --probes {args.probes}`",
-        "",
     ]
-    (REPO / "BENCH.md").write_text("\n".join(lines))
+    block = "\n".join(lines)
+    # splice the measured block between the markers, preserving the
+    # maintained narrative (host-ceiling analysis, fault-tolerance notes,
+    # measurement history) around it
+    bench_md = REPO / "BENCH.md"
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    if bench_md.exists() and begin in bench_md.read_text():
+        text = bench_md.read_text()
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        bench_md.write_text(f"{head}{begin}\n{block}\n{end}{tail}")
+    else:
+        bench_md.write_text(
+            "# BENCH — two-cluster-size scaling evidence\n\n"
+            f"{begin}\n{block}\n{end}\n"
+        )
 
 
 if __name__ == "__main__":
