@@ -284,6 +284,27 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    # AllPairs SIZE filter (Bayardo et al. §3): jaccard ≤ min(n)/(na+nb-min(n))
+    # (intersection can't exceed the smaller set), so any candidate whose size
+    # ratio already caps it under t is dropped BEFORE the expensive joins that
+    # attach the full shingle-set arrays.  The bound is computed with the same
+    # double division as the final jaccard, and correctly-rounded division is
+    # monotone in the true value, so no qualifying pair is ever excluded.
+    # ``sizes`` is one row per rep doc — broadcast both sides of the join.
+    cand = (
+        cand.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n_sh").alias("na"))), "id_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n_sh").alias("nb"))), "id_b")
+        .filter(
+            F.least("na", "nb")
+            / (F.col("na") + F.col("nb") - F.least("na", "nb")).cast("double")
+            >= F.lit(min_jaccard)
+        )
+        .select("id_a", "id_b")
+    )
     # intersection sizes via per-doc shingle SETS + array_intersect: one row
     # per candidate pair (each carrying two ~n_sh-element arrays), instead of
     # re-exploding every candidate by its full shingle set and re-joining on
