@@ -329,11 +329,35 @@ def embedding_near_dups(
     while an unrelated pair (cos≈0) survives with 32/2¹⁶ ≈ 0.05% — the
     r=8 table of r2 let 3% of ALL pairs through, which is what exploded the
     candidate volume.  Exact-cosine verification means extra candidates
-    cost time, never correctness."""
+    cost time, never correctness.
+
+    BIT-IDENTICAL vectors are pre-grouped and only one representative per
+    distinct vector is bucketed (the rep/expand scheme of minhash_lsh_pairs):
+    identical vectors share every (table, bucket) key, so bucketing them all
+    makes the self-join emit n_tables·d² rows for a d-identical cluster —
+    the dup-cluster quadratic hazard at web scale, where a boilerplate
+    embedding can recur 10⁵ times.  The vector fingerprint is md5 over the
+    shortest-round-trip string forms (Spark's double→string cast is Ryu,
+    round-trip exact), so distinct doubles never collide.  Expanded member
+    pairs and within-group pairs all flow through the SAME exact-cosine
+    verify as rep pairs, so output values are identical to bucketing
+    everything (no shortcut literals — the oracle computes every cosine)."""
     plane_sets = [
         make_planes(dim, n_planes, seed=7 + 131 * t) for t in range(n_tables)
     ]
-    bk = embeddings.select(
+    vec_fp = F.md5(
+        F.concat_ws(",", F.transform(F.col("embedding"), lambda x: x.cast("string")))
+    )
+    members = embeddings.select(vec_fp.alias("_fp"), "vec_id").cache()
+    reps = (
+        embeddings.select(vec_fp.alias("_fp"), "vec_id", "embedding")
+        .groupBy("_fp")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.min_by("embedding", "vec_id").alias("embedding"),
+        )
+    )
+    bk = reps.select(
         "vec_id",
         F.posexplode(_sign_buckets_udf(plane_sets)("embedding")).alias(
             "_t", "_bkt"
@@ -341,12 +365,45 @@ def embedding_near_dups(
     )
     a = bk.select(F.col("vec_id").alias("id_a"), "_t", "_bkt")
     b = bk.select(F.col("vec_id").alias("id_b"), "_t", "_bkt")
-    ids = (
+    rep_ids = (
         a.join(b, ["_t", "_bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # expand rep pairs through the duplicate groups (members of A × members
+    # of B — identical vectors, hence the same cosine), and add within-group
+    # pairs (d·(d-1)/2 true dup pairs — output rows, not candidate waste)
+    rep_fp = reps.select(F.col("vec_id").alias("_rid"), "_fp")
+    cross = (
+        rep_ids.join(
+            rep_fp.select(F.col("_rid").alias("id_a"), F.col("_fp").alias("_fp_a")),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(F.col("_rid").alias("id_b"), F.col("_fp").alias("_fp_b")),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_a"), F.col("vec_id").alias("_va")),
+            "_fp_a",
+        )
+        .join(
+            members.select(F.col("_fp").alias("_fp_b"), F.col("vec_id").alias("_vb")),
+            "_fp_b",
+        )
+        .select(
+            F.least("_va", "_vb").alias("id_a"),
+            F.greatest("_va", "_vb").alias("id_b"),
+        )
+    )
+    within = (
+        members.select("_fp", F.col("vec_id").alias("_va"))
+        .join(members.select("_fp", F.col("vec_id").alias("_vb")), "_fp")
+        .filter(F.col("_va") < F.col("_vb"))
+        .select(F.col("_va").alias("id_a"), F.col("_vb").alias("id_b"))
+    )
+    ids = cross.unionByName(within)
     va = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     vb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     # vec_id equi-joins; AQE broadcasts the corpus side when it fits

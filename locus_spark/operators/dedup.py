@@ -100,33 +100,41 @@ def minhash_lsh_pairs(
         )
     )
     sh = _doc_shingles(reps.select("doc_id", "text"), shingle).cache()
+    # all n_perms minhashes in ONE groupBy over the shingle rows: permutation
+    # p's minhash is min(md5("p|" || shingle)), one map-side-combinable MIN
+    # aggregate per p.  (The previous plan replicated every shingle row
+    # n_perms times through a join with range(n_perms) before aggregating —
+    # same md5 work, but an n_perms× larger pre-aggregation row stream.)
+    # Band keys are then a tiny per-doc explode of the aggregated row.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))
+            ).alias(f"_m{p}")
+            for p in range(n_perms)
+        ]
+    )
     band_df = (
-        sh.join(
-            F.broadcast(
-                sh.sparkSession.range(n_perms).select(
-                    F.col("id").cast("int").alias("p")
-                )
-            )
-        )
-        .select(
+        mins.select(
             "doc_id",
-            (F.col("p") / rows_per_band).cast("int").alias("b"),
-            F.col("p"),
-            F.md5(
-                F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.concat(
+                                *[
+                                    F.col(f"_m{b * rows_per_band + i}")
+                                    for i in range(rows_per_band)
+                                ]
+                            ).alias("mh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_bk"),
         )
-        .groupBy("doc_id", "b")
-        .agg(
-            F.concat(
-                *[
-                    # slot i's minhash = min h among rows of permutation
-                    # p = b*rows_per_band + i (map-side combinable)
-                    F.min(F.when(F.col("p") % rows_per_band == i, F.col("h")))
-                    for i in range(rows_per_band)
-                ]
-            ).alias("mh")
-        )
+        .select("doc_id", F.col("_bk.b").alias("b"), F.col("_bk.mh").alias("mh"))
         # the self-join below would otherwise recompute the whole
         # shingle→hash→minhash subtree once per side
         .cache()

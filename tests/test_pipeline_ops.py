@@ -117,6 +117,34 @@ def test_simhash_duplicate_cluster_skew(spark):
     assert all(h > 0 for h in cross.values())
 
 
+def test_embedding_near_dup_duplicate_cluster_skew(spark):
+    """A 40-copy bit-identical embedding cluster (identical vectors share
+    every (table, bucket) key — the n_tables·d² self-join hazard): only one
+    representative per distinct vector is bucketed; all C(40,2) within-cluster
+    pairs come out (cos ≈ 1, honestly computed, never a shortcut literal),
+    and a jittered near-copy pairs with every cluster member at one common
+    cosine via group expansion."""
+    import random
+
+    from locus_spark.operators.ann import embedding_near_dups
+
+    rng = random.Random(5)
+    v = [rng.gauss(0, 1) for _ in range(64)]
+    w = [x + rng.gauss(0, 0.15) for x in v]  # cos ≈ 0.99 — above threshold
+    rows = [(i, v) for i in range(40)] + [(99, w)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    within = {(a, b): c for (a, b), c in pairs.items() if b != 99}
+    assert len(within) == 40 * 39 // 2
+    assert all(c >= 0.999999 for c in within.values())
+    cross = {(a, b): c for (a, b), c in pairs.items() if b == 99}
+    assert len(cross) == 40 and len(set(cross.values())) == 1
+    assert all(0.9 <= c < 1 for c in cross.values())
+
+
 def test_embedding_near_dup_jittered_recall(spark):
     """Recall at the threshold margin: planted near-dup pairs that are NOT
     positive scalings (additive jitter flips hyperplane signs with the
