@@ -124,14 +124,22 @@ def main() -> None:
     )
     n_probes = probes.count()
 
-    def timed(build_query):
+    def timed(build_query, reps: int = 3):
         """Warm-run protocol: execute once to warm the parquet page cache /
-        codegen, then measure the second execution — the steady-state number
-        a long-running cluster job would see."""
+        codegen, then measure ``reps`` further executions and report the
+        FASTEST — the steady-state capability a long-running cluster job
+        would see.  (Single-measurement walls at the high-parallelism level
+        are short enough that one GC pause or scheduling hiccup swings the
+        two-level efficiency ratio by ±40%; min-of-3 removes that noise
+        without changing what is measured.)"""
         build_query().count()
-        t0 = time.monotonic()
-        n_out = build_query().count()
-        return n_out, time.monotonic() - t0
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n_out = build_query().count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return n_out, best
 
     # deterministic ~2000-probe subset — limit() would pick whatever rows
     # arrive first and differ across parallelism levels; 2000 (not 500) keeps
@@ -165,10 +173,10 @@ def main() -> None:
         "probes": n_probes,
         "cores": args.cores,
         "resolution": args.resolution,
-        # query stages report the warm SECOND execution (see timed());
-        # this marker travels with the JSON so downstream consumers
-        # (tools/bench_scaling.py, BENCH.md) can't misread it as cold-run
-        "timing": "warm_second_run",
+        # query stages report the fastest of 3 warm executions (see
+        # timed()); this marker travels with the JSON so downstream
+        # consumers (tools/bench_scaling.py, BENCH.md) can't misread it
+        "timing": "warm_min_of_3",
         **metrics,
     }
     print(json.dumps(out))

@@ -32,6 +32,24 @@ METRICS = (
 )
 
 
+def run_level_best(rows: int, probes: int, cores: int, repeats: int) -> dict:
+    """Best-of-``repeats`` full job runs at one level: per-metric MAX
+    throughput.  The query stages are already min-of-3 inside one run
+    (jobs/run.py ``timed``), but the build stages (geocode, index build)
+    execute once per job — a background-load hiccup during a single build
+    leaves an unrepresentable dent in the two-level ratio that only a whole
+    fresh run can smooth.  Each repeat is a full ``--fresh`` job measuring
+    the SAME work, so taking the fastest changes noise, not semantics."""
+    runs = [run_level(rows, probes, cores) for _ in range(repeats)]
+    best = dict(runs[0])
+    for r in runs[1:]:
+        for m in METRICS:
+            if r.get(m) and r[m] > best.get(m, 0):
+                best[m] = r[m]
+        best["retried"] = best.get("retried") or r.get("retried")
+    return best
+
+
 def run_level(rows: int, probes: int, cores: int) -> dict:
     """One job run pinned to exactly ``cores`` CPUs.
 
@@ -88,11 +106,13 @@ def main() -> None:
     # 2->8 for identical code).  2->8 measures the engine, not the sandbox.
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="full job runs per level; per-metric best is kept")
     args = ap.parse_args()
     factor = args.high / args.low
 
-    lo = run_level(args.rows, args.probes, args.low)
-    hi = run_level(args.rows, args.probes, args.high)
+    lo = run_level_best(args.rows, args.probes, args.low, args.repeats)
+    hi = run_level_best(args.rows, args.probes, args.high, args.repeats)
 
     eff = {
         m: round(hi[m] / (factor * lo[m]), 3)
@@ -109,6 +129,7 @@ def main() -> None:
         "throughput_high": {m: hi[m] for m in METRICS if m in hi},
         "efficiency": eff,
         "flagship_knn_efficiency": eff.get("knn_rows_per_s"),
+        "repeats_per_level": args.repeats,
         "retried_levels": {
             "low": bool(lo.get("retried")),
             "high": bool(hi.get("retried")),
@@ -126,7 +147,12 @@ def main() -> None:
         "Method: each level is pinned with `taskset` to exactly its core count",
         "(local-mode Python UDF workers otherwise borrow idle host cores and",
         "overstate the small level); Python workers are warmed before the first",
-        "timed stage; query stages report the second (steady-state) execution.",
+        "timed stage; query stages report the fastest of 3 warm executions",
+        "(single warm runs at the high level are short enough that one GC pause",
+        "swings the two-level ratio by ±40% — min-of-3 denoises without changing",
+        f"what is measured), and each level runs {args.repeats} full fresh jobs",
+        "with the per-stage best kept (build stages execute once per job, so",
+        "only a whole repeat can smooth a background-load dent in them).",
         "",
         "Job: `jobs/run.py` — synth pages → extract text (byte-identity) →",
         "geocode (xxhash64) → Hilbert cell index (salted hot cells) →",
@@ -146,7 +172,7 @@ def main() -> None:
         "",
         "Reproduce: `python tools/bench_scaling.py"
         f" --rows {args.rows} --probes {args.probes}"
-        f" --low {args.low} --high {args.high}`",
+        f" --low {args.low} --high {args.high} --repeats {args.repeats}`",
     ]
     block = "\n".join(lines)
     # splice the measured block between the markers, preserving the
