@@ -132,6 +132,43 @@ def raster_vector_assignment(
     )
 
 
+def tile_pyramid(points: DataFrame, grid: GridSpec, min_zoom: int = 0) -> DataFrame:
+    """Multi-resolution rollup cascade: exact point counts per tile for every
+    zoom in ``[min_zoom, grid.resolution]``.  Returns (zoom, tile_x, tile_y, n).
+
+    The hypertable-rollup shape: only the BASE level scans the points; each
+    coarser level aggregates the PREVIOUS level's output (4 child tiles → 1
+    parent via ``tile >> 1``, exact because counts reaggregate losslessly and
+    ``floor(floor(a)/2) == floor(a/2)``).  At a zoom-20 web-mercator pyramid
+    over 10^12 points that cascade shuffles the raw data once and then only
+    ever-shrinking tile tables; recomputing each level from the points would
+    scan the corpus ``levels`` times.  Levels are persisted — they are at most
+    ``4^resolution`` rows, and the union would otherwise re-run every branch's
+    ancestor aggregations."""
+    base = (
+        tile_point_counts(points, grid)
+        .persist()
+    )
+    levels = [base.select(F.lit(grid.resolution).alias("zoom"), "tile_x", "tile_y", "n")]
+    cur = base
+    for z in range(grid.resolution - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.shiftright("tile_x", 1).alias("tile_x"),
+                F.shiftright("tile_y", 1).alias("tile_y"),
+                "n",
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("n").alias("n"))
+            .persist()
+        )
+        levels.append(cur.select(F.lit(z).alias("zoom"), "tile_x", "tile_y", "n"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 # --------------------------------------------------------------------------
 # deterministic polygon fixtures (literal SQL VALUES — both engines parse
 # double literals identically, so the fixture is bit-identical everywhere)

@@ -492,6 +492,38 @@ def q_tile_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_point_counts(pts, WORLD_GRID)
 
 
+PYRAMID_MIN_ZOOM = 3
+
+# the oracle replicates Spark's derivation exactly: base tiles via the same
+# float expression, coarser zooms via integer >> on the BASE index (not a
+# re-division by the coarser cell width, whose float rounding could disagree
+# at tile boundaries) — floor(floor(a)/2^k) == floor(a/2^k) makes the shift
+# form exact.
+_TILE_PYRAMID_ORACLE = f"""
+{derived.with_ctes('points')}
+, base AS (
+  SELECT {_TILE_X} AS tx, {_TILE_Y} AS ty, count(*) AS n
+  FROM points GROUP BY 1, 2
+)
+SELECT z.zoom AS zoom,
+       tx >> ({SF_RESOLUTION} - z.zoom) AS tile_x,
+       ty >> ({SF_RESOLUTION} - z.zoom) AS tile_y,
+       CAST(sum(n) AS BIGINT) AS n
+FROM base, unnest([{', '.join(str(z) for z in range(PYRAMID_MIN_ZOOM, SF_RESOLUTION + 1))}]) AS z(zoom)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tile_pyramid", _TILE_PYRAMID_ORACLE)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (zoom pyramid): one scan of the points,
+    then a 4→1 reaggregation cascade per coarser zoom."""
+    from locus_spark.operators.tiles import tile_pyramid
+
+    pts = derived.load(spark, sf_dir, "points")
+    return tile_pyramid(pts, WORLD_GRID, min_zoom=PYRAMID_MIN_ZOOM)
+
+
 _POLY_ROWS = make_polygon_edges(n_polygons=8, seed=42)
 _CROSS_SQL = SQL_CROSSING.format(
     px="p.x", py="p.y", x1="e.x1", y1="e.y1", x2="e.x2", y2="e.y2"
@@ -677,6 +709,74 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified bit-for-bit against the equivalent DuckDB SQL."""
     derived.register_base_tables(spark, sf_dir)
     return simhash_near_dups(spark.table("documents"), max_hamming=4)
+
+
+# components over the SimHash pair graph: the pair oracle is bit-exact SQL,
+# so the cluster assignment is oracle-checkable end to end — DuckDB computes
+# min-reachable-id per node with a recursive CTE (terminates because UNION
+# dedups the frontier), while Spark runs min-label propagation with pointer
+# jumping (operators/components.py).
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{simhash_oracle_sql(max_hamming=4)}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: SimHash pairs → connected components →
+    (doc_id, cluster_id) for every document, cluster_id = smallest doc id in
+    the component (singletons map to themselves).  The keep/drop decision a
+    dedup pipeline actually consumes — pairs alone aren't actionable."""
+    from locus_spark.operators.components import assign_clusters
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return assign_clusters(docs, simhash_near_dups(docs, max_hamming=4))
+
+
+#: per-language mix rates for the registered sampling query — en downweighted,
+#: de kept whole, zh absent (falls to the default) to exercise every branch
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.125}
+SAMPLE_DEFAULT = 0.1
+
+from locus_spark.operators.sampling import (  # noqa: E402
+    sample_oracle_predicate,
+    stratified_sample,
+)
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sample_oracle_predicate('lang', SAMPLE_RATES, 'doc_id',
+                               default_rate=SAMPLE_DEFAULT)}
+"""
+
+
+@register("doc_sample_stratified", _SAMPLE_ORACLE)
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mix rebalance: hash-threshold stratified
+    sampling (pure filter — reproducible across reruns/retries/partitionings,
+    no shuffle; a 0.25 sample is a subset of the 0.5 sample at the same
+    seed)."""
+    derived.register_base_tables(spark, sf_dir)
+    return stratified_sample(
+        spark.table("documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT,
+    )
 
 
 _FP_ORACLE = "SELECT doc_id, md5(text) AS fp, n_chars FROM documents"

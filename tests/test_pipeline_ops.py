@@ -390,3 +390,36 @@ def test_raster_vector_counts(spark):
     out = {r.id: (r.n_tiles, r.n_points) for r in raster_vector_assignment(boxes, pts, g).collect()}
     assert out[0] == (2, 4)   # covers tiles (0,0),(1,0) → 2+2 points
     assert out[1] == (1, 0)   # empty corner tile
+
+
+def test_tile_pyramid_levels_consistent(spark):
+    from locus_spark.operators.tiles import tile_point_counts, tile_pyramid
+
+    g = GridSpec(0.0, 0.0, 16.0, 16.0, 3)  # 8x8 base tiles of 2x2
+    pts = spark.createDataFrame(
+        [(i, float(i % 16) + 0.5, float(i // 16) + 0.5) for i in range(160)],
+        "id long, x double, y double",
+    )
+    pyr = tile_pyramid(pts, g, min_zoom=0).collect()
+    by_zoom: dict[int, dict[tuple[int, int], int]] = {}
+    for r in pyr:
+        by_zoom.setdefault(r.zoom, {})[(r.tile_x, r.tile_y)] = r.n
+    assert set(by_zoom) == {0, 1, 2, 3}
+    # every level conserves the total count
+    for z, tiles in by_zoom.items():
+        assert sum(tiles.values()) == 160, f"zoom {z}"
+    # base level == direct tile_point_counts
+    base = {
+        (r.tile_x, r.tile_y): r.n for r in tile_point_counts(pts, g).collect()
+    }
+    assert by_zoom[3] == base
+    # each parent is the sum of its (at most 4) children
+    for (px, py), n in by_zoom[2].items():
+        kids = sum(
+            by_zoom[3].get((px * 2 + dx, py * 2 + dy), 0)
+            for dx in (0, 1)
+            for dy in (0, 1)
+        )
+        assert kids == n
+    # zoom 0 is one world tile
+    assert by_zoom[0] == {(0, 0): 160}
