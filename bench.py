@@ -37,6 +37,7 @@ HEADLINE = [
     "seg_knn_to_point",
     "seg_knn",
     "tile_point_counts",
+    "tile_pyramid",
     "pip_polygons",
     "raster_vector",
     "dedup_exact",
@@ -44,6 +45,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
+    "dedup_clusters",
+    "doc_sample_stratified",
     "doc_token_stats",
     "doc_lang_id",
     "ann_cosine_topk",
@@ -69,6 +72,8 @@ CLEARS_CACHE = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",   # caches the SimHash fingerprint frame
+    "tile_pyramid",     # persists each rollup level
 }
 
 #: ring-loop queries leave localCheckpoint blocks behind (they are NOT in
@@ -76,6 +81,7 @@ CLEARS_CACHE = {
 #: them via the persistent-RDD registry once the result is consumed, so
 #: accumulated round state doesn't pressure later queries' memory.
 RING_STATE = {
+    "dedup_clusters",  # label-propagation rounds localCheckpoint their state
     "kd_nearest",
     "kd_knn",
     "kd_knn_persisted",

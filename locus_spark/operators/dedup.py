@@ -512,21 +512,10 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
 """
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash banding: fingerprints split into 4 16-bit
-    bands; pairs sharing a band are verified with exact popcount Hamming
-    distance.  Returns (id_a, id_b, hamming).
-
-    Docs with IDENTICAL fingerprints are grouped FIRST and only one
-    representative per distinct ``fp`` enters the band self-join — identical
-    fingerprints share all 4 band keys, so banding every member makes a
-    d-duplicate cluster emit d² candidate rows per band (the same quadratic
-    hazard MinHash fixed in round 1 by banding text representatives).  The
-    representative pairs are expanded back through the fp groups afterwards,
-    and within-group pairs are emitted with Hamming 0 directly (equal fps
-    always share every band, so they are always candidates) — the output is
-    identical to banding everything, minus the O(dups²) band-join blowup."""
-    fps = simhash_fingerprints(documents).cache()
+def _simhash_rep_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs between fingerprint REPRESENTATIVES (one doc per
+    distinct fp, the group's min doc_id): band self-join + exact popcount
+    Hamming verify.  Returns (id_a, id_b, hamming), id_a < id_b."""
     reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     banded = reps.select(
         "doc_id",
@@ -544,18 +533,74 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    # rep pairs: distinct fps sharing at least one 16-bit band, within budget
-    rep_pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_clusters(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id, cluster_id) for every document: connected components of the
+    SimHash near-dup graph, cluster_id = smallest doc id in the component.
+
+    Scale shape: the PAIR list is inherently O(d²) for a d-identical cluster
+    (every member-pair is a row), so clustering via the expanded pairs would
+    re-create the quadratic blowup the rep-grouping avoids.  Components are
+    therefore computed on the REPRESENTATIVE graph only (one node per
+    distinct fingerprint) and members inherit their rep's component through
+    one join.  The component min over reps IS the component min over members:
+    each rep is already its fp group's min doc_id."""
+    from locus_spark.operators.components import connected_components
+
+    fps = simhash_fingerprints(documents).cache()
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("_rep"))
+    rep_pairs = _simhash_rep_pairs(fps, max_hamming)
+    comp = connected_components(rep_pairs)
+    return (
+        fps.join(reps, "fp")
+        .join(comp.withColumnRenamed("node", "_rep"), "_rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "_rep").alias("cluster_id"),
+        )
+    )
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding: fingerprints split into 4 16-bit
+    bands; pairs sharing a band are verified with exact popcount Hamming
+    distance.  Returns (id_a, id_b, hamming).
+
+    Docs with IDENTICAL fingerprints are grouped FIRST and only one
+    representative per distinct ``fp`` enters the band self-join — identical
+    fingerprints share all 4 band keys, so banding every member makes a
+    d-duplicate cluster emit d² candidate rows per band (the same quadratic
+    hazard MinHash fixed in round 1 by banding text representatives).  The
+    representative pairs are expanded back through the fp groups afterwards,
+    and within-group pairs are emitted with Hamming 0 directly (equal fps
+    always share every band, so they are always candidates) — the output is
+    identical to banding everything, minus the O(dups²) band-join blowup."""
+    fps = simhash_fingerprints(documents).cache()
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    rep_pairs = (
+        _simhash_rep_pairs(fps, max_hamming)
+        .join(reps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a")
+        .join(reps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
+        .select("fp_a", "fp_b", "hamming")
     )
     # cross-group expansion: every member-of-A × member-of-B pair has the
     # same fingerprints, hence the same Hamming distance

@@ -737,12 +737,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: SimHash pairs → connected components →
     (doc_id, cluster_id) for every document, cluster_id = smallest doc id in
     the component (singletons map to themselves).  The keep/drop decision a
-    dedup pipeline actually consumes — pairs alone aren't actionable."""
-    from locus_spark.operators.components import assign_clusters
+    dedup pipeline actually consumes — pairs alone aren't actionable.
+    Components run on the fingerprint-REPRESENTATIVE graph (one node per
+    distinct fp), so a d-identical boilerplate cluster costs O(d), not the
+    O(d²) of clustering the expanded pair list."""
+    from locus_spark.operators.dedup import simhash_clusters
 
     derived.register_base_tables(spark, sf_dir)
-    docs = spark.table("documents")
-    return assign_clusters(docs, simhash_near_dups(docs, max_hamming=4))
+    return simhash_clusters(spark.table("documents"), max_hamming=4)
 
 
 #: per-language mix rates for the registered sampling query — en downweighted,

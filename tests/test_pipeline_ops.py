@@ -423,3 +423,27 @@ def test_tile_pyramid_levels_consistent(spark):
         assert kids == n
     # zoom 0 is one world tile
     assert by_zoom[0] == {(0, 0): 160}
+
+
+def test_simhash_clusters_match_pair_expansion(spark):
+    """The rep-graph clustering (O(d) per identical cluster) must produce the
+    same assignment as clustering the fully-expanded pair list."""
+    from locus_spark.operators.components import assign_clusters
+    from locus_spark.operators.dedup import simhash_clusters
+
+    rows = [(i, "boilerplate header common to all mirrors", "en") for i in range(20)]
+    rows += [(100, "the quick brown fox jumps over dogs", "en"),
+             (101, "the quick brown fox jumps over dogs!", "en"),
+             (200, "ein voellig anderes deutsches dokument hier", "de")]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fast = {r.doc_id: r.cluster_id for r in simhash_clusters(docs, max_hamming=4).collect()}
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in assign_clusters(docs, simhash_near_dups(docs, max_hamming=4)).collect()
+    }
+    assert fast == slow
+    assert all(fast[i] == 0 for i in range(20))  # identical cluster collapses to 0
+    assert fast[200] == 200                      # singleton keeps itself
