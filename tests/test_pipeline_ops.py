@@ -447,3 +447,29 @@ def test_simhash_clusters_match_pair_expansion(spark):
     assert fast == slow
     assert all(fast[i] == 0 for i in range(20))  # identical cluster collapses to 0
     assert fast[200] == 200                      # singleton keeps itself
+
+
+def test_tile_pyramid_scans_points_once(spark):
+    """Coarser zooms must reaggregate the persisted base level, not rescan
+    the input: exactly one branch of the union plan touches the source."""
+    import contextlib
+    import io
+
+    from locus_spark.operators.tiles import tile_pyramid
+
+    g = GridSpec(0.0, 0.0, 8.0, 8.0, 2)
+    pts = spark.createDataFrame(
+        [(i, float(i % 8), float(i % 8)) for i in range(64)],
+        "id long, x double, y double",
+    )
+    pyr = tile_pyramid(pts, g, min_zoom=0)
+    try:
+        pyr.count()  # materialize the persisted levels
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pyr.explain("formatted")
+        plan = buf.getvalue()
+        # every level branch reads cached data; nothing re-walks the rows
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        spark.catalog.clearCache()

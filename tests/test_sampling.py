@@ -51,3 +51,21 @@ def test_threshold_edges():
     assert threshold(1.0) == 1 << 32
     assert threshold(-3.0) == 0
     assert threshold(2.0) == 1 << 32
+
+
+def test_sampling_plan_has_no_shuffle(spark):
+    """The keep rule is a pure filter — the physical plan must contain no
+    Exchange (at 100 TB a sampling pass that shuffles is a non-starter)."""
+    import contextlib
+    import io
+
+    df = spark.range(1_000).select(F.col("id").alias("k"))
+    out = stratified_sample(
+        df.withColumn("lang", F.lit("en")), "lang", {"en": 0.5}, key_col="k"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no Python UDF in the hot path
