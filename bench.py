@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_sample_stratified",
     "doc_token_stats",
     "doc_lang_id",
+    "doc_top_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_top1_persisted",

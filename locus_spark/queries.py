@@ -836,6 +836,58 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.table("documents"))
 
 
+TOP_QUALITY_FRAC = 0.25
+
+# oracle: the single-window formulation (fine at sf scale); the Spark side
+# is the two-pass histogram selection, which must be row-identical — the
+# quality doubles are bit-equal across engines (doc_quality is hash-green),
+# so bucket membership and the (quality desc, doc_id asc) boundary rank
+# decide identically.
+_TOP_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         least(CAST(len(ts) AS DOUBLE) / 100.0e0, 1.0e0)
+           * (1.0e0 - CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+                      / CAST(len(ts) AS DOUBLE)) AS quality
+  FROM toks
+), ranked AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, quality
+FROM ranked
+WHERE rn <= ceil({TOP_QUALITY_FRAC} * n)
+"""
+
+
+@register("doc_top_quality", _TOP_QUALITY_ORACLE)
+def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25%-quality documents per language via the two-pass
+    histogram selection (operators/selection.py) — no per-language global
+    sort, so the dominant language doesn't serialize through one reducer."""
+    from locus_spark.operators.selection import top_fraction_per_group
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality")
+    )
+    return top_fraction_per_group(
+        scored,
+        group_col="lang",
+        order_col="quality",
+        frac=TOP_QUALITY_FRAC,
+        id_col="doc_id",
+    )
+
+
 def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{m}'" for m in markers)
     return (

@@ -32,6 +32,48 @@ METRICS = (
 )
 
 
+def cpu_ceiling(cores: int, seconds: float = 8.0) -> float:
+    """The HOST's own parallel-scaling ceiling at ``cores``: aggregate
+    iterations/s of ``cores`` identical pure-Python busy loops, each pinned
+    (as one process group) to the same CPU set the Spark level uses.  No
+    Spark, no I/O, no shared state — any shortfall from perfect scaling is
+    the machine (all-core clock behavior, shared cache/memory bandwidth),
+    not the engine.  ``ceiling_eff = tput(4N) / (4 * tput(N))`` is the
+    experimental control the raw efficiency must be read against: a real
+    cluster's 4N executors bring 4x the sockets/bandwidth, which one
+    multi-core host cannot."""
+    import multiprocessing as mp
+
+    def burn(out, end_by):
+        import time as _t
+
+        n = 0
+        deadline = _t.monotonic() + end_by
+        while _t.monotonic() < deadline:
+            acc = 0
+            for i in range(10_000):
+                acc += i * i ^ (i << 1)
+            n += 1
+        out.put(n)
+
+    import os
+
+    os.sched_setaffinity(0, set(range(cores)))
+    try:
+        q: mp.Queue = mp.Queue()
+        procs = [mp.Process(target=burn, args=(q, seconds)) for _ in range(cores)]
+        t0 = __import__("time").monotonic()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        dt = __import__("time").monotonic() - t0
+        total = sum(q.get() for _ in procs)
+        return total / dt
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 1)))
+
+
 def run_level_best(rows: int, probes: int, cores: int, repeats: int) -> dict:
     """Best-of-``repeats`` full job runs at one level: per-metric MAX
     throughput.  The query stages are already min-of-3 inside one run
@@ -111,6 +153,12 @@ def main() -> None:
     args = ap.parse_args()
     factor = args.high / args.low
 
+    # hardware control first (quiet machine): the host's own busy-loop
+    # scaling ceiling over the same core sets, best of 2 per level
+    ceil_lo = max(cpu_ceiling(args.low), cpu_ceiling(args.low))
+    ceil_hi = max(cpu_ceiling(args.high), cpu_ceiling(args.high))
+    ceiling_eff = round(ceil_hi / (factor * ceil_lo), 3)
+
     lo = run_level_best(args.rows, args.probes, args.low, args.repeats)
     hi = run_level_best(args.rows, args.probes, args.high, args.repeats)
 
@@ -119,6 +167,7 @@ def main() -> None:
         for m in METRICS
         if lo.get(m) and hi.get(m)
     }
+    eff_norm = {m: round(v / ceiling_eff, 3) for m, v in eff.items()}
     report = {
         "metric": "scaling_efficiency_N_to_4N",
         "rows": args.rows,
@@ -128,7 +177,10 @@ def main() -> None:
         "throughput_low": {m: lo[m] for m in METRICS if m in lo},
         "throughput_high": {m: hi[m] for m in METRICS if m in hi},
         "efficiency": eff,
+        "hardware_ceiling_efficiency": ceiling_eff,
+        "efficiency_vs_ceiling": eff_norm,
         "flagship_knn_efficiency": eff.get("knn_rows_per_s"),
+        "flagship_knn_efficiency_vs_ceiling": eff_norm.get("knn_rows_per_s"),
         "repeats_per_level": args.repeats,
         "retried_levels": {
             "low": bool(lo.get("retried")),
@@ -147,9 +199,9 @@ def main() -> None:
         "Method: each level is pinned with `taskset` to exactly its core count",
         "(local-mode Python UDF workers otherwise borrow idle host cores and",
         "overstate the small level); Python workers are warmed before the first",
-        "timed stage; query stages report the fastest of 3 warm executions",
+        "timed stage; query stages report the fastest of several warm executions",
         "(single warm runs at the high level are short enough that one GC pause",
-        "swings the two-level ratio by ±40% — min-of-3 denoises without changing",
+        "swings the two-level ratio by ±40% — min-of-reps denoises without changing",
         f"what is measured), and each level runs {args.repeats} full fresh jobs",
         "with the per-stage best kept (build stages execute once per job, so",
         "only a whole repeat can smooth a background-load dent in them).",
@@ -159,15 +211,27 @@ def main() -> None:
         "box-range join → ball join → exact kNN join (cell-ring expansion).",
         "",
         "| stage | rows/s @ "
-        f"local[{args.low}] | rows/s @ local[{args.high}] | efficiency (tput_4N / {factor:g}·tput_N) |",
-        "|---|---|---|---|",
+        f"local[{args.low}] | rows/s @ local[{args.high}] | efficiency (tput_4N / {factor:g}·tput_N) | vs host ceiling |",
+        "|---|---|---|---|---|",
     ]
     for m in METRICS:
         if m in eff:
-            lines.append(f"| {m} | {lo[m]:,.0f} | {hi[m]:,.0f} | **{eff[m]:.3f}** |")
+            lines.append(
+                f"| {m} | {lo[m]:,.0f} | {hi[m]:,.0f} | **{eff[m]:.3f}** |"
+                f" {eff_norm[m]:.3f} |"
+            )
     lines += [
         "",
-        f"Flagship (kNN join) efficiency: **{eff.get('knn_rows_per_s')}**"
+        "Hardware control (same run, same core pinning): "
+        f"{args.low}→{args.high} identical pure-Python busy loops scale at "
+        f"**{ceiling_eff:.3f}** on this host — the machine's own parallel",
+        "ceiling (all-core clock + shared bandwidth), with no Spark, no I/O,",
+        "no shared state.  The \"vs host ceiling\" column divides each stage's",
+        "raw efficiency by it: a real cluster's 4N executors bring 4x the",
+        "sockets and memory channels, which one multi-core host cannot.",
+        "",
+        f"Flagship (kNN join) efficiency: **{eff.get('knn_rows_per_s')}** raw,"
+        f" **{eff_norm.get('knn_rows_per_s')}** vs host ceiling"
         " (target >= 0.8).",
         "",
         "Reproduce: `python tools/bench_scaling.py"
