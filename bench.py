@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_lang_id",
     "doc_top_quality",
+    "pipeline_training_mix",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_top1_persisted",

@@ -56,11 +56,16 @@ def main() -> None:
     args = ap.parse_args()
 
     master = f"local[{args.cores}]" if args.cores else None
-    # 4 tasks per core: one-wave schedules (parts == cores) let a single
-    # straggler set the whole stage wall — the classic reason measured
-    # scaling flattens at the high level.  A real cluster sizes
-    # shuffle.partitions with the executor count for the same reason.
-    parts = max(8, 4 * (args.cores or 8))
+    # Partition count is a function of DATA size, never of this run's core
+    # count: the two scaling levels must execute the IDENTICAL physical plan
+    # (same task boundaries, same AQE coalescing, same spill thresholds) so
+    # the only variable between them is parallelism.  Tying partitions to
+    # cores makes the levels run different plans — measured here as a fake
+    # super-linear box/ball "speedup" (the low level's bigger partitions
+    # spilled) and a deflated kNN ratio.  64 partitions is multi-wave at
+    # both levels (8 waves at 8 cores, 32 at 2), so a single straggler
+    # can't set a stage wall either.
+    parts = 64
     spark = get_spark(
         app_name=f"locus_pages_{args.rows}",
         master=master,

@@ -55,19 +55,24 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, stop_ratio, mean_tok_len, quality) — simple
-    length/stopword quality heuristic; every term a ratio of exact ints."""
-    toks = documents.select("doc_id", "n_chars", _tokens().alias("ts"))
+def quality_score(documents: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep_cols, n_tokens, stop_ratio, mean_tok_len, quality) —
+    simple length/stopword quality heuristic; every term a ratio of exact
+    ints.  ``keep_cols`` are carried through unchanged so downstream stages
+    (per-language selection, mix rebalance) don't need a join back to the
+    source — one narrow projection instead of a self-join."""
+    toks = documents.select("doc_id", *keep_cols, "n_chars", _tokens().alias("ts"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     scored = toks.select(
         "doc_id",
+        *keep_cols,
         F.size("ts").alias("n_tokens"),
         F.size(F.filter("ts", lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
         F.col("n_chars"),
     )
     return scored.select(
         "doc_id",
+        *keep_cols,
         "n_tokens",
         (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")).alias(
             "stop_ratio"

@@ -874,10 +874,8 @@ def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     derived.register_base_tables(spark, sf_dir)
     docs = spark.table("documents")
-    scored = (
-        quality_score(docs)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "quality")
+    scored = quality_score(docs, keep_cols=("lang",)).select(
+        "doc_id", "lang", "quality"
     )
     return top_fraction_per_group(
         scored,
@@ -885,6 +883,81 @@ def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="quality",
         frac=TOP_QUALITY_FRAC,
         id_col="doc_id",
+    )
+
+
+#: the composite training-mix pipeline cuts to the top half per language
+#: before rebalancing — separate constant from TOP_QUALITY_FRAC so the two
+#: registered queries exercise different boundary buckets
+MIX_TOP_FRAC = 0.5
+
+_TRAINING_MIX_ORACLE_TMPL = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM surv
+), scored AS (
+  SELECT doc_id, lang,
+         least(CAST(len(ts) AS DOUBLE) / 100.0e0, 1.0e0)
+           * (1.0e0 - CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+                      / CAST(len(ts) AS DOUBLE)) AS quality
+  FROM toks
+), ranked AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+), top AS (
+  SELECT doc_id, lang, quality FROM ranked WHERE rn <= ceil({frac} * n)
+)
+SELECT doc_id, lang, quality FROM top WHERE {sample_pred}
+"""
+
+
+@register(
+    "pipeline_training_mix",
+    _TRAINING_MIX_ORACLE_TMPL.format(
+        frac=MIX_TOP_FRAC,
+        sample_pred=sample_oracle_predicate(
+            "lang", SAMPLE_RATES, "doc_id", default_rate=SAMPLE_DEFAULT
+        ),
+    ),
+)
+def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE declarative plan:
+    exact dedup (md5 content hash, keep smallest doc_id) → quality scoring →
+    exact top-half-per-language histogram selection → deterministic
+    per-language mix rebalance.  Three composable operators, one Catalyst
+    plan: the dedup groupBy and the keeper join shuffle on their keys, the
+    selection histogram is map-side combinable, and the mix rebalance is a
+    pure codegen'd filter — nothing funnels through a single reducer at any
+    corpus size."""
+    from locus_spark.operators.dedup import exact_dedup
+    from locus_spark.operators.selection import top_fraction_per_group
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keepers, "doc_id")
+    scored = quality_score(survivors, keep_cols=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
+    top = top_fraction_per_group(
+        scored,
+        group_col="lang",
+        order_col="quality",
+        frac=MIX_TOP_FRAC,
+        id_col="doc_id",
+    )
+    return stratified_sample(
+        top,
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT,
     )
 
 
