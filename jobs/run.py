@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--probes", type=int, default=2000)
     ap.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    ap.add_argument("--parts", type=int, default=128,
+                    help="shuffle partitions (data-sized; identical at every "
+                         "parallelism level so the levels run one plan)")
     args = ap.parse_args()
 
     master = f"local[{args.cores}]" if args.cores else None
@@ -64,8 +67,9 @@ def main() -> None:
     # super-linear box/ball "speedup" (the low level's bigger partitions
     # spilled) and a deflated kNN ratio.  64 partitions is multi-wave at
     # both levels (8 waves at 8 cores, 32 at 2), so a single straggler
-    # can't set a stage wall either.
-    parts = 64
+    # can't set a stage wall either.  128 measured best of {16, 64, 128,
+    # 256} on the flagship two-level ratio at 16M rows.
+    parts = args.parts
     spark = get_spark(
         app_name=f"locus_pages_{args.rows}",
         master=master,

@@ -46,6 +46,13 @@ _DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 #: cogroup 12x faster at 16M skewed targets).
 LOCAL_TOPK_MIN_TARGETS = 2_000_000
 
+#: tail rounds of the ring loop fall back to the broadcast-join evaluator
+#: when expected candidate volume (unsettled probes × annulus cells × mean
+#: cell density) drops below this — at that size the fully-codegen'd join +
+#: `_cap` row pruning beats the cogroup kernel's per-(cell, probe) pandas
+#: group overhead (see the per-round evaluator choice in generic_knn_join)
+TAIL_ROUND_MAX_CANDIDATES = 8_000_000
+
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
 PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
@@ -331,6 +338,13 @@ def generic_knn_join(
 
     use_cogroup = local_dist2 is not None and n_targets >= LOCAL_TOPK_MIN_TARGETS
     if use_cogroup:
+        # Always start at a single cell: the cogroup kernel's dominant cost
+        # is per-(cell, probe) GROUP overhead in applyInPandas, which scales
+        # with the covered-cell count, not with the numpy math.  Measured at
+        # 16M rows / 24k probes: hi0=0 settles 66% of probes in a 15.8 s
+        # round 1 + 12.5 s round 2; hi0=1 (9 cells/probe) makes round 1
+        # alone 94.7 s.  Geometric expansion after round 1 keeps the total
+        # round count at 2 for uniform data.
         hi0 = 0
     else:
         density = n_targets / float(grid.n * grid.n)
@@ -353,11 +367,37 @@ def generic_knn_join(
     done: list[DataFrame] = []
     carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
+    density = n_targets / float(grid.n * grid.n)
+    n_unsettled: int | None = None  # known after each round's settle count
     for _ in range(max_rounds):
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
         ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
-        if use_cogroup:
+        # Per-ROUND evaluator choice.  The cogrouped numpy kernel exists to
+        # cap hot-cell blowup (its output is ≤ k rows per (probe, cell) no
+        # matter how dense the cell), but it pays per-(cell, probe) GROUP
+        # overhead in applyInPandas plus two shuffles + an Arrow hop — for
+        # a TAIL round, where the surviving probe set has shrunk and every
+        # probe carries a `_cap` that row-prunes dense cells inside codegen,
+        # the plain broadcast-join evaluator is strictly cheaper and fully
+        # whole-stage-codegen.  Measured at 16M rows / 24k probes: round 2
+        # (8066 probes, ~3M expected candidates) costs 12.5 s cogrouped vs
+        # the small-candidate join path's linear scan.  Expected candidate
+        # volume = unsettled × annulus cells × mean density; above the
+        # threshold the kernel's k-per-cell output cap wins, below it the
+        # JVM join wins.
+        ring_cells = (2 * hi + 1) ** 2 - ((2 * lo - 1) ** 2 if lo > 0 else 0)
+        ann_rows = None if n_unsettled is None else n_unsettled * ring_cells
+        round_cogroup = use_cogroup and (
+            ann_rows is None
+            # candidate volume big enough for the kernel's k-per-cell cap
+            # to pay for its per-group overhead ...
+            or ann_rows * density > TAIL_ROUND_MAX_CANDIDATES
+            # ... or an annulus frame too wide to broadcast (sparse grid:
+            # many cells, few candidates)
+            or ann_rows > 4_000_000
+        )
+        if round_cogroup:
             cand = _cogroup_topk(
                 target_cells, ann, k, local_dist2, tie_desc_id,
                 [c for c in probe_payload if c not in PROBE_BBOX_COLS],
@@ -368,8 +408,15 @@ def generic_knn_join(
                 F.broadcast(ann)
                 .join(target_cells, ["_cx", "_cy"])
                 .withColumn("dist2", dist2)
-                .select(*out_cols)
             )
+            if "_cap" in ann.columns:
+                # branch-and-bound at ROW level: a candidate farther than
+                # the probe's current k-th best can never displace it
+                # (ties at equal dist2 still pass — id order can displace)
+                cand = cand.filter(
+                    F.col("_cap").isNull() | (F.col("dist2") <= F.col("_cap"))
+                )
+            cand = cand.select(*out_cols)
         merged = cand if carried is None else carried.unionByName(cand)
         if dedup:
             # a multi-cell target may surface through several cells/rounds
@@ -428,14 +475,18 @@ def generic_knn_join(
         still = unsettled.select("qid")
         done.append(merged.join(still, "qid", "left_anti"))
         carried = merged.join(still, "qid", "left_semi")
+        # the count doubles as the isEmpty termination check AND next
+        # round's evaluator-choice input (same one job over the
+        # checkpointed frame either way)
+        n_unsettled = unsettled.count()
         if _DEBUG:
             print(
-                f"[knn] ring [{lo},{hi}] -> unsettled={unsettled.count()}"
+                f"[knn] ring [{lo},{hi}] -> unsettled={n_unsettled}"
                 f" (round {time.monotonic() - t0:.1f}s settle-check)",
                 file=sys.stderr,
                 flush=True,
             )
-        if unsettled.isEmpty():
+        if n_unsettled == 0:
             break
         lo, step = hi + 1, step * 2
     else:

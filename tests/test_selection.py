@@ -56,6 +56,34 @@ def test_frac_one_keeps_everything(spark):
     assert out.count() == 50
 
 
+def test_no_global_per_group_sort_in_plan(spark):
+    """The design claim: selection never globally sorts a group.  The only
+    Sort allowed in the physical plan is the boundary-bucket window's
+    per-(group, bucket) local sort — every Sort node must be non-global and
+    keyed on (group, _bkt), never on the group alone (which would funnel a
+    100-TB dominant group through one reducer)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100_000)) / 1e5).alias("v"),
+    )
+    out = top_fraction_per_group(df, "grp", "v", 0.25, "id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "Sort " in line and "Sort [" in line:
+            assert "global=false" in line, f"global sort in plan: {line}"
+    # no row-at-a-time Python in the hot path
+    assert "BatchEvalPython" not in plan
+
+
 def test_out_of_range_values_clamp(spark):
     """Values at/above hi or below lo clamp into edge buckets without loss."""
     rows = [(1, "g", -5.0), (2, "g", 0.5), (3, "g", 99.0), (4, "g", 1.0)]
