@@ -50,8 +50,11 @@ LOCAL_TOPK_MIN_TARGETS = 2_000_000
 #: when expected candidate volume (unsettled probes × annulus cells × mean
 #: cell density) drops below this — at that size the fully-codegen'd join +
 #: `_cap` row pruning beats the cogroup kernel's per-(cell, probe) pandas
-#: group overhead (see the per-round evaluator choice in generic_knn_join)
-TAIL_ROUND_MAX_CANDIDATES = 8_000_000
+#: group overhead (~0.5 ms/group: 1M annulus groups cost ~8 core-minutes of
+#: pure overhead, while 64M candidate rows are a few GB through one codegen
+#: filter + window shuffle).  The annulus-broadcast width guard below is
+#: what actually bounds the join's memory footprint.
+TAIL_ROUND_MAX_CANDIDATES = 64_000_000
 
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
