@@ -45,7 +45,10 @@ def _doc_shingles(documents: DataFrame, shingle: int = SHINGLE) -> DataFrame:
     toks = documents.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("ts"),
-    )
+    ).filter(F.size("ts") >= shingle)
+    # the length guard above is load-bearing: sequence(1, size - k) with
+    # size - k < 1 generates a DESCENDING sequence in Spark (default step
+    # -1), so a too-short document would index element_at out of bounds
     joined = " || ' ' || ".join(
         f"element_at(ts, CAST(i + {j} AS INT))" for j in range(shingle)
     )

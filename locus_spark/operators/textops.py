@@ -115,3 +115,90 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return scores.select(
         "doc_id", "lang", pred.alias("pred_lang"), best.cast("long").alias("n_hits")
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals over word bigrams:
+    ``(doc_id, n_bigrams, n_uniq_bigrams, dup_bigram_ratio, top_bigram_n,
+    top_bigram_ratio)``.  Boilerplate/spam pages repeat short phrases;
+    ``dup_bigram_ratio`` (fraction of bigram OCCURRENCES that are repeats)
+    and ``top_bigram_ratio`` (share of the single most frequent bigram) are
+    the standard filter inputs.
+
+    Plan shape: bigram explode → (doc, bigram) count → per-doc agg.  Two
+    hash-partial aggregations on (doc_id, bigram) then doc_id — map-side
+    combine on both, embarrassingly parallel, no window/sort.  Documents
+    with fewer than 2 tokens carry no bigram and emit no row (mirrored by
+    the oracle)."""
+    toks = documents.select("doc_id", _tokens().alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bigram = (
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> element_at(ts, CAST(i AS INT)) || ' ' "
+        "|| element_at(ts, CAST(i + 1 AS INT)))"
+    )
+    bi = toks.select("doc_id", F.explode(F.expr(bigram)).alias("bigram"))
+    per = bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.count("*").alias("n_uniq_bigrams"),
+            F.max("n").alias("top_bigram_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_uniq_bigrams",
+            (
+                F.lit(1.0)
+                - F.col("n_uniq_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("dup_bigram_ratio"),
+            "top_bigram_n",
+            (
+                F.col("top_bigram_n").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+#: default quantile probes for the length-distribution rollup
+QUANTILE_PS = (0.25, 0.5, 0.9, 0.99)
+
+
+def len_quantiles(documents: DataFrame, ps: tuple[float, ...] = QUANTILE_PS) -> DataFrame:
+    """EXACT per-language quantiles of ``n_chars`` via the value histogram:
+    one row per language with ``n_docs`` and a ``pXX`` column per probe
+    (discrete quantile: smallest value whose cumulative count reaches
+    ``ceil(p * n)``).
+
+    This is the distributed-exact-quantile shape for integer-valued
+    columns: ``groupBy(lang, n_chars)`` first (map-side combine collapses
+    100 TB of rows into |langs| x |distinct lengths| cells — thousands),
+    then the cumulative window runs over the TINY histogram, never the
+    data.  Contrast with sort-based quantiles, which serialize each
+    language's full data through one reducer, or approx_percentile, which
+    gives up exactness for no reason once values are discrete."""
+    from pyspark.sql import Window
+
+    counts = documents.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    cum = counts.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(Window.partitionBy("lang").orderBy("n_chars")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    exprs = []
+    for p in ps:
+        name = f"p{int(round(p * 100)):02d}"
+        exprs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("n_chars")
+                )
+            ).alias(name)
+        )
+    return cum.groupBy("lang").agg(F.max("n").alias("n_docs"), *exprs)

@@ -886,6 +886,112 @@ def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from locus_spark.operators.decontam import DECON_SHINGLE  # noqa: E402
+
+#: eval-set membership predicate for the registered decontamination query:
+#: a deterministic ~1% slice of the documents table stands in for the
+#: benchmark suite (same table shape; no external data per the brief)
+DECON_EVAL_MOD = 97
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+  WHERE len(ts) >= {DECON_SHINGLE}
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+), bad AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.shingle = ev.shingle
+  WHERE s.doc_id % {DECON_EVAL_MOD} <> 0
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % {DECON_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("dedup_decontaminate", _DECON_ORACLE)
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: drop every training document sharing a
+    4-word n-gram with the (deterministic ~1%) eval slice.  Eval shingle
+    set is broadcast; the training side never shuffles for the probe
+    (operators/decontam.py)."""
+    from locus_spark.operators.decontam import decontaminate
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train = docs.filter(~is_eval).select("doc_id", "lang", "source", "n_chars", "text")
+    eval_docs = docs.filter(is_eval).select("doc_id", "text")
+    return decontaminate(train, eval_docs).drop("text")
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks, unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), per AS (
+  SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+       1.0e0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_bigram_ratio,
+       CAST(max(n) AS BIGINT) AS top_bigram_n,
+       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+@register("doc_repetition", _REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style filters): duplicate
+    bigram-occurrence fraction + top-bigram share, two map-side-combined
+    hash aggs (operators/textops.py:repetition_stats)."""
+    from locus_spark.operators.textops import repetition_stats
+
+    derived.register_base_tables(spark, sf_dir)
+    return repetition_stats(spark.table("documents"))
+
+
+_LEN_QUANTILES_ORACLE = """
+WITH counts AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM counts
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= ceil(0.25e0 * n) THEN n_chars END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN cum >= ceil(0.5e0 * n) THEN n_chars END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.9e0 * n) THEN n_chars END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99e0 * n) THEN n_chars END) AS BIGINT) AS p99
+FROM cum GROUP BY lang
+"""
+
+
+@register("doc_len_quantiles", _LEN_QUANTILES_ORACLE)
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles via the value histogram — the
+    cumulative window runs over |langs| x |distinct lengths| cells, never
+    the data (operators/textops.py:len_quantiles)."""
+    from locus_spark.operators.textops import len_quantiles
+
+    derived.register_base_tables(spark, sf_dir)
+    return len_quantiles(spark.table("documents"))
+
+
 #: the composite training-mix pipeline cuts to the top half per language
 #: before rebalancing — separate constant from TOP_QUALITY_FRAC so the two
 #: registered queries exercise different boundary buckets

@@ -1,0 +1,79 @@
+"""Decontamination, repetition stats, and exact length quantiles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from locus_spark.operators.decontam import contaminated_ids, decontaminate
+from locus_spark.operators.textops import len_quantiles, repetition_stats
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    rows = [
+        # 0: verbatim copy of eval doc 100 -> contaminated
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        # 1: shares the 4-gram "beta gamma delta epsilon" -> contaminated
+        (1, "prefix beta gamma delta epsilon suffix", "en"),
+        # 2: same words, different order -> no shared 4-gram -> clean
+        (2, "zeta epsilon delta gamma beta alpha", "en"),
+        # 3: disjoint vocabulary -> clean
+        (3, "one two three four five six seven", "en"),
+        # 4: too short for any 4-gram -> always clean
+        (4, "alpha beta gamma", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+
+
+def test_contaminated_ids(train, eval_docs):
+    bad = sorted(r.doc_id for r in contaminated_ids(train, eval_docs).collect())
+    assert bad == [0, 1]
+
+
+def test_decontaminate_keeps_clean_docs(train, eval_docs):
+    kept = sorted(r.doc_id for r in decontaminate(train, eval_docs).collect())
+    assert kept == [2, 3, 4]
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams: "a b", "b a", "a b" -> 3 total, 2 uniq, top=2
+            (0, "a b a b"),
+            # all distinct bigrams
+            (1, "w x y z"),
+            # single token: no bigram, no output row
+            (2, "lonely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert (r0.n_bigrams, r0.n_uniq_bigrams, r0.top_bigram_n) == (3, 2, 2)
+    assert r0.dup_bigram_ratio == pytest.approx(1 - 2 / 3)
+    assert r0.top_bigram_ratio == pytest.approx(2 / 3)
+    r1 = rows[1]
+    assert (r1.n_bigrams, r1.n_uniq_bigrams, r1.top_bigram_n) == (3, 3, 1)
+    assert r1.dup_bigram_ratio == 0.0
+
+
+def test_len_quantiles_exact(spark):
+    # en: lengths 1..10 (one each) -> p25=3, p50=5, p90=9, p99=10
+    # de: length 7 x4               -> every quantile 7
+    rows = [(i, "t", "en", i + 1) for i in range(10)]
+    rows += [(100 + i, "t", "de", 7) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    out = {r.lang: r for r in len_quantiles(df).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.p25, en.p50, en.p90, en.p99) == (10, 3, 5, 9, 10)
+    de = out["de"]
+    assert (de.n_docs, de.p25, de.p50, de.p90, de.p99) == (4, 7, 7, 7, 7)
