@@ -46,10 +46,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "dedup_clusters",
+    "dedup_decontaminate",
     "doc_sample_stratified",
     "doc_token_stats",
     "doc_lang_id",
     "doc_top_quality",
+    "doc_repetition",
+    "doc_len_quantiles",
+    "doc_pack_sequences",
     "pipeline_training_mix",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -62,6 +66,7 @@ HEADLINE = [
     "events_dedup_replayed",
     "media_frame_sample",
     "pages_geotile_lang",
+    "pages_host_stats",
     "pages_knn",
 ]
 

@@ -992,6 +992,38 @@ def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return len_quantiles(spark.table("documents"))
 
 
+from locus_spark.operators.packing import PACK_BUDGET, PACK_SHARDS  # noqa: E402
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS pack_group,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT)
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, pack_group, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+           - n_tokens AS start_tok
+  FROM toks
+)
+SELECT doc_id, pack_group, n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(floor(start_tok / {float(PACK_BUDGET)}) AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+@register("doc_pack_sequences", _PACK_ORACLE)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-shard token streams, each doc
+    labeled with its stream offset and training-window index
+    (operators/packing.py — shards independent, one window cumsum each)."""
+    from locus_spark.operators.packing import pack_sequences
+
+    derived.register_base_tables(spark, sf_dir)
+    return pack_sequences(spark.table("documents"))
+
+
 #: the composite training-mix pipeline cuts to the top half per language
 #: before rebalancing — separate constant from TOP_QUALITY_FRAC so the two
 #: registered queries exercise different boundary buckets
@@ -1612,6 +1644,43 @@ def q_pages_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("qid"), "x", "y"
     )
     return knn_join(geo, probes, KNN_K, grid=grid)
+
+
+#: host re-derived from the STORED url with the same regex in both engines
+#: (simple char classes — Java regex and RE2 agree), so the oracle needs no
+#: parse_url builtin
+_HOST_RE = "https://([^/]+)/"
+
+_PAGES_HOST_ORACLE = f"""
+SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+       count(*) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(extracted)) AS BIGINT) AS n_chars,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM read_parquet('{PAGES_DATA_DIR}/*.parquet')
+GROUP BY 1
+"""
+
+
+@register("pages_host_stats", _PAGES_HOST_ORACLE)
+def q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rollup of the persisted geocoded pages: page count, distinct
+    languages, extracted bytes, and the host's point bounding box (the
+    host-anchor + jitter neighborhood).  One hash agg with map-side
+    combine; hosts are the natural domain-level curation unit (and the
+    skew drivers — the bbox exposes each hot host's spatial footprint)."""
+    geo = _persisted_geocoded_pages(spark)
+    return geo.groupBy(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("extracted")).alias("n_chars"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
 
 
 # ===========================================================================

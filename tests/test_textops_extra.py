@@ -77,3 +77,21 @@ def test_len_quantiles_exact(spark):
     assert (en.n_docs, en.p25, en.p50, en.p90, en.p99) == (10, 3, 5, 9, 10)
     de = out["de"]
     assert (de.n_docs, de.p25, de.p50, de.p90, de.p99) == (4, 7, 7, 7, 7)
+
+
+def test_pack_sequences_offsets(spark):
+    from locus_spark.operators.packing import pack_sequences
+
+    # one shard (n_shards=1): stream order is doc_id asc, budget 10
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g"), (2, "h i j k l"), (3, "m")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, budget=10, n_shards=1).collect()}
+    # offsets: 0, 4, 7, 12 -> windows 0, 0, 0, 1
+    assert [rows[i].start_tok for i in range(4)] == [0, 4, 7, 12]
+    assert [rows[i].seq_id for i in range(4)] == [0, 0, 0, 1]
+    # sharding keeps streams independent and deterministic
+    two = {r.doc_id: r for r in pack_sequences(df, budget=10, n_shards=2).collect()}
+    assert two[2].pack_group == 0 and two[2].start_tok == 4  # after doc 0
+    assert two[3].pack_group == 1 and two[3].start_tok == 3  # after doc 1
