@@ -38,27 +38,39 @@ DECON_SHINGLE = 4
 
 
 def contaminated_ids(
-    train: DataFrame, eval_docs: DataFrame, shingle: int = DECON_SHINGLE
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle: int = DECON_SHINGLE,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Distinct ``doc_id`` of training documents sharing at least one
     ``shingle``-word n-gram with any eval document.
 
-    ``eval_docs`` must be small enough to broadcast its distinct shingle
-    set (the eval-suite contract); the training side streams map-side."""
+    ``broadcast_eval=True`` (default) hash-broadcasts the distinct eval
+    shingle set — right for suite-sized eval sets (≲ a few hundred MB of
+    shingles); the training side then streams map-side with no shuffle.
+    For very large eval sets (~1e6 docs ⇒ ~1e8 shingles, beyond broadcast)
+    pass ``False``: a plain shuffle ``left_semi`` on the shingle key, the
+    standard repartition-join shape, still O(shingles) with no all-pairs."""
     ev_sh = _doc_shingles(eval_docs, shingle).select("shingle").distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
     return (
         _doc_shingles(train, shingle)
-        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .join(ev_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
     )
 
 
 def decontaminate(
-    train: DataFrame, eval_docs: DataFrame, shingle: int = DECON_SHINGLE
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle: int = DECON_SHINGLE,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """The surviving training set: ``train`` minus every document flagged by
     :func:`contaminated_ids`.  Documents with fewer than ``shingle`` tokens
     carry no n-gram and are always kept (mirrored by the oracle)."""
-    bad = contaminated_ids(train, eval_docs, shingle)
+    bad = contaminated_ids(train, eval_docs, shingle, broadcast_eval)
     return train.join(bad, "doc_id", "left_anti")

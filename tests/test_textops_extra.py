@@ -95,3 +95,12 @@ def test_pack_sequences_offsets(spark):
     two = {r.doc_id: r for r in pack_sequences(df, budget=10, n_shards=2).collect()}
     assert two[2].pack_group == 0 and two[2].start_tok == 4  # after doc 0
     assert two[3].pack_group == 1 and two[3].start_tok == 3  # after doc 1
+
+
+def test_decontaminate_shuffle_path_equivalent(train, eval_docs):
+    # broadcast_eval=False must produce the identical survivor set
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(train, eval_docs, broadcast_eval=False).collect()
+    )
+    assert kept == [2, 3, 4]
