@@ -46,15 +46,35 @@ _DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 #: cogroup 12x faster at 16M skewed targets).
 LOCAL_TOPK_MIN_TARGETS = 2_000_000
 
-#: tail rounds of the ring loop fall back to the broadcast-join evaluator
-#: when expected candidate volume (unsettled probes × annulus cells × mean
-#: cell density) drops below this — at that size the fully-codegen'd join +
-#: `_cap` row pruning beats the cogroup kernel's per-(cell, probe) pandas
-#: group overhead (~0.5 ms/group: 1M annulus groups cost ~8 core-minutes of
-#: pure overhead, while 64M candidate rows are a few GB through one codegen
-#: filter + window shuffle).  The annulus-broadcast width guard below is
-#: what actually bounds the join's memory footprint.
-TAIL_ROUND_MAX_CANDIDATES = 64_000_000
+#: rounds fall back to the cogrouped kernel only above this EXACT candidate
+#: volume (sum of annulus-cell occupancies over unsettled probes, measured
+#: per round against the persisted per-cell histogram — a mean-density
+#: estimate is off by ~200x when probes are sampled from skewed data, since
+#: probes concentrate exactly where cells are dense).  Below it the fully
+#: codegen'd broadcast join wins: `_cap` row pruning (tail rounds) or the
+#: sampled-cap prefilter (first round, below) bounds what reaches the
+#: window, while the cogroup kernel always pays two shuffles + an Arrow
+#: round-trip of every candidate target row (measured 25-60 s for 17M
+#: Arrow-transferred rows at 8 cores, with high variance from Python-worker
+#: churn).  The annulus-broadcast width guard is what actually bounds the
+#: join's memory footprint.
+TAIL_ROUND_MAX_CANDIDATES = 256_000_000
+
+#: annulus frames wider than this are not broadcast (sparse grids: many
+#: cells per probe, few candidates) — the cogroup kernel shuffles instead
+ANN_BROADCAST_MAX_ROWS = 4_000_000
+
+#: first-round sampled-cap prefilter: when the capless round's exact
+#: candidate volume exceeds this, derive a per-probe upper bound of the
+#: true k-th distance from a 1/CAP_SAMPLE_RATE deterministic target sample
+#: and row-prune the full join with it before the window.  The bound is
+#: exact-safe (k-th smallest within a subset >= k-th smallest overall;
+#: probes with < k sampled candidates keep a null cap = no pruning), and
+#: it bounds the window's input at ~CAP_SAMPLE_RATE*k rows per probe
+#: regardless of cell density — measured at 32M rows / 24k probes / 143M
+#: first-round candidates: 30 s window -> ~6 s total, pure JVM.
+CAP_SAMPLE_MIN_CANDIDATES = 4_000_000
+CAP_SAMPLE_RATE = 16
 
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
@@ -366,39 +386,67 @@ def generic_knn_join(
     from pyspark import StorageLevel
 
     target_cells = target_cells.persist(StorageLevel.MEMORY_AND_DISK)
+    # Per-cell occupancy histogram: the evaluator choice needs the EXACT
+    # candidate volume of each round, not a mean-density guess — probes
+    # sampled from skewed data sit exactly where cells are dense, so the
+    # uniform estimate under-counts by orders of magnitude (measured 200x:
+    # 730k estimated vs 143M actual first-round candidates at 32M rows).
+    # The histogram is |occupied cells| rows (~250k at 32M points), built
+    # once per query, and each round's exact volume is one small join
+    # against the (checkpointed) annulus frame.  Only armed alongside the
+    # cogroup kernel — small datasets always take the broadcast path.
+    cell_counts: DataFrame | None = None
+    n_unsettled: int | None = None
     unsettled = probes
+    if use_cogroup:
+        cell_counts = (
+            target_cells.groupBy("_cx", "_cy")
+            .agg(F.count("*").alias("_cn"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # materialize the probe frame once: every round touches it several
+        # times (annulus build, volume estimate, settle joins), and its raw
+        # lineage re-scans the probe source each time
+        unsettled = _truncate_lineage(probes)
+        n_unsettled = unsettled.count()
     done: list[DataFrame] = []
     carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
-    density = n_targets / float(grid.n * grid.n)
-    n_unsettled: int | None = None  # known after each round's settle count
     for _ in range(max_rounds):
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
         ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
-        # Per-ROUND evaluator choice.  The cogrouped numpy kernel exists to
-        # cap hot-cell blowup (its output is ≤ k rows per (probe, cell) no
+        # Per-ROUND evaluator choice on the EXACT candidate volume (the
+        # histogram join above).  The cogrouped numpy kernel exists to cap
+        # hot-cell blowup (its output is ≤ k rows per (probe, cell) no
         # matter how dense the cell), but it pays per-(cell, probe) GROUP
-        # overhead in applyInPandas plus two shuffles + an Arrow hop — for
-        # a TAIL round, where the surviving probe set has shrunk and every
-        # probe carries a `_cap` that row-prunes dense cells inside codegen,
-        # the plain broadcast-join evaluator is strictly cheaper and fully
-        # whole-stage-codegen.  Measured at 16M rows / 24k probes: round 2
-        # (8066 probes, ~3M expected candidates) costs 12.5 s cogrouped vs
-        # the small-candidate join path's linear scan.  Expected candidate
-        # volume = unsettled × annulus cells × mean density; above the
-        # threshold the kernel's k-per-cell output cap wins, below it the
-        # JVM join wins.
+        # overhead in applyInPandas plus two shuffles + an Arrow round-trip
+        # of every candidate target row.  The broadcast-join evaluator is
+        # fully whole-stage-codegen and its window input is bounded either
+        # by the carried `_cap` (tail rounds) or the sampled-cap prefilter
+        # (capless first round), so it wins far beyond the old mean-density
+        # crossover; the kernel remains for extreme volumes and annuli too
+        # wide to broadcast.
         ring_cells = (2 * hi + 1) ** 2 - ((2 * lo - 1) ** 2 if lo > 0 else 0)
         ann_rows = None if n_unsettled is None else n_unsettled * ring_cells
+        exact_cand = None
+        if use_cogroup:
+            # exact candidate volume: sum of cell occupancies the annulus
+            # covers (one small join — ann is checkpoint-backed, the
+            # histogram is cached)
+            exact_cand = (
+                ann.join(cell_counts, ["_cx", "_cy"])
+                .agg(F.sum("_cn"))
+                .first()[0]
+                or 0
+            )
         round_cogroup = use_cogroup and (
-            ann_rows is None
             # candidate volume big enough for the kernel's k-per-cell cap
             # to pay for its per-group overhead ...
-            or ann_rows * density > TAIL_ROUND_MAX_CANDIDATES
+            exact_cand > TAIL_ROUND_MAX_CANDIDATES
             # ... or an annulus frame too wide to broadcast (sparse grid:
             # many cells, few candidates)
-            or ann_rows > 4_000_000
+            or (ann_rows is not None and ann_rows > ANN_BROADCAST_MAX_ROWS)
         )
         if round_cogroup:
             cand = _cogroup_topk(
@@ -418,6 +466,42 @@ def generic_knn_join(
                 # (ties at equal dist2 still pass — id order can displace)
                 cand = cand.filter(
                     F.col("_cap").isNull() | (F.col("dist2") <= F.col("_cap"))
+                )
+            elif (
+                exact_cand is not None and exact_cand > CAP_SAMPLE_MIN_CANDIDATES
+            ):
+                # capless first round over dense cells: derive a per-probe
+                # UPPER bound of the true k-th distance from a deterministic
+                # 1/CAP_SAMPLE_RATE target sample and prune with it, so the
+                # window never sees the dense cells' full candidate volume.
+                # Safe: the k-th smallest within a subset >= the k-th
+                # smallest overall; fewer than k sampled candidates => null
+                # cap => no pruning; <= keeps distance ties (id order may
+                # still displace).
+                sampled = target_cells.filter(
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(CAP_SAMPLE_RATE)) == 0
+                )
+                scand = (
+                    F.broadcast(ann)
+                    .join(sampled, ["_cx", "_cy"])
+                    .withColumn("dist2", dist2)
+                )
+                if dedup:
+                    # multi-cell targets surface once per covering cell; a
+                    # duplicated near target would understate the sampled
+                    # k-th and over-prune
+                    scand = scand.dropDuplicates(["qid", "id"])
+                caps = (
+                    scand.groupBy("qid")
+                    .agg(
+                        F.slice(
+                            F.sort_array(F.collect_list("dist2")), k, 1
+                        ).alias("_ck")
+                    )
+                    .select("qid", F.get("_ck", 0).alias("_scap"))
+                )
+                cand = cand.join(F.broadcast(caps), "qid", "left").filter(
+                    F.col("_scap").isNull() | (F.col("dist2") <= F.col("_scap"))
                 )
             cand = cand.select(*out_cols)
         merged = cand if carried is None else carried.unionByName(cand)
@@ -496,6 +580,8 @@ def generic_knn_join(
         raise RuntimeError("generic_knn_join: ring expansion did not converge")
 
     target_cells.unpersist()  # every output row lives in a checkpointed frame
+    if cell_counts is not None:
+        cell_counts.unpersist()
     out = done[0]
     for part in done[1:]:
         out = out.unionByName(part)
