@@ -39,42 +39,45 @@ from locus_spark.cells import GridSpec
 #: set LOCUS_KNN_DEBUG=1 to print per-round ring/unsettled diagnostics
 _DEBUG = os.environ.get("LOCUS_KNN_DEBUG", "") not in ("", "0")
 
-#: below this target count the plain broadcast-join + window round evaluator
-#: wins: the cogrouped kernel costs two extra shuffles + an Arrow hop per
-#: round, which dominates when the whole target side fits a few partitions
-#: (measured crossover on 32 cores: broadcast 2x faster at 150k-800k targets,
-#: cogroup 12x faster at 16M skewed targets).
+#: below this target count none of the large-scale machinery arms: no
+#: per-cell occupancy histogram, no probe-frame checkpointing, no cogroup
+#: kernel availability, no sampled-cap prefilter — the plain broadcast-join
+#: + window evaluator handles everything (the whole target side fits a few
+#: partitions, so per-round fixed jobs would dominate any cleverness).
 LOCAL_TOPK_MIN_TARGETS = 2_000_000
 
-#: rounds fall back to the cogrouped kernel only above this EXACT candidate
-#: volume (sum of annulus-cell occupancies over unsettled probes, measured
-#: per round against the persisted per-cell histogram — a mean-density
-#: estimate is off by ~200x when probes are sampled from skewed data, since
-#: probes concentrate exactly where cells are dense).  Below it the fully
-#: codegen'd broadcast join wins: `_cap` row pruning (tail rounds) or the
-#: sampled-cap prefilter (first round, below) bounds what reaches the
-#: window, while the cogroup kernel always pays two shuffles + an Arrow
-#: round-trip of every candidate target row (measured 25-60 s for 17M
-#: Arrow-transferred rows at 8 cores, with high variance from Python-worker
-#: churn).  The annulus-broadcast width guard is what actually bounds the
-#: join's memory footprint.
-TAIL_ROUND_MAX_CANDIDATES = 256_000_000
-
 #: annulus frames wider than this are not broadcast (sparse grids: many
-#: cells per probe, few candidates) — the cogroup kernel shuffles instead
+#: cells per probe, few candidates) — the cogroup kernel shuffles instead.
+#: This width guard is the ONLY route to the cogroup kernel: with cap-based
+#: row pruning (`_cap` carried across rounds, or the sampled-cap prefilter
+#: below for probes that don't have one yet) the broadcast evaluator's
+#: window input is bounded at any candidate volume, and the join itself is
+#: a linear whole-stage-codegen stream that scales with cores — whereas the
+#: kernel pays two shuffles + an Arrow round-trip + Python-worker churn per
+#: candidate row (measured scaling ~0.5 from 2 to 8 cores at 32-128M rows;
+#: a candidate-volume crossover of 256M routed the 128M-row flagship's
+#: first round — 579M exact candidates — back to the kernel and capped the
+#: whole stage's two-level scaling at 0.44).
 ANN_BROADCAST_MAX_ROWS = 4_000_000
 
-#: first-round sampled-cap prefilter: when the capless round's exact
-#: candidate volume exceeds this, derive a per-probe upper bound of the
-#: true k-th distance from a 1/CAP_SAMPLE_RATE deterministic target sample
-#: and row-prune the full join with it before the window.  The bound is
-#: exact-safe (k-th smallest within a subset >= k-th smallest overall;
-#: probes with < k sampled candidates keep a null cap = no pruning), and
-#: it bounds the window's input at ~CAP_SAMPLE_RATE*k rows per probe
-#: regardless of cell density — measured at 32M rows / 24k probes / 143M
-#: first-round candidates: 30 s window -> ~6 s total, pure JVM.
+#: sampled-cap prefilter: when a round has probes with no carried `_cap`
+#: (always in round one; later for probes that found < k candidates so far)
+#: and the round's exact candidate volume exceeds this, derive a per-probe
+#: upper bound of the true k-th distance from a 1/CAP_SAMPLE_RATE
+#: deterministic target sample and row-prune the full join with it before
+#: the window.  The bound is exact-safe (k-th smallest within a subset >=
+#: k-th smallest overall; probes with < k sampled candidates keep a null
+#: cap = no pruning), and it bounds the window's input at ~CAP_SAMPLE_RATE*k
+#: rows per probe regardless of cell density — measured at 32M rows / 24k
+#: probes / 143M first-round candidates: 30 s window -> ~6 s total, pure JVM.
 CAP_SAMPLE_MIN_CANDIDATES = 4_000_000
 CAP_SAMPLE_RATE = 16
+
+#: evaluator choice of each round of the most recent generic_knn_join call
+#: ("cogroup" | "broadcast" | "broadcast+scap") — introspection for tests,
+#: so a forced-path test can assert the forced path actually ran instead of
+#: being silently defanged by a policy change.
+LAST_ROUND_EVALUATORS: list[str] = []
 
 #: probe-side internal columns: cell-range of the probe geometry's bbox and
 #: the bbox itself in coordinates.
@@ -397,6 +400,7 @@ def generic_knn_join(
     # cogroup kernel — small datasets always take the broadcast path.
     cell_counts: DataFrame | None = None
     n_unsettled: int | None = None
+    n_nocap: int | None = None  # unsettled probes with no carried _cap yet
     unsettled = probes
     if use_cogroup:
         cell_counts = (
@@ -409,6 +413,8 @@ def generic_knn_join(
         # lineage re-scans the probe source each time
         unsettled = _truncate_lineage(probes)
         n_unsettled = unsettled.count()
+        n_nocap = n_unsettled  # round one: nobody has a cap yet
+    LAST_ROUND_EVALUATORS.clear()
     done: list[DataFrame] = []
     carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
@@ -416,24 +422,27 @@ def generic_knn_join(
         hi = lo + step - 1
         t_round = time.monotonic() if _DEBUG else 0.0
         ann = _annulus_cells(unsettled, grid, lo, hi, margin=margin)
-        # Per-ROUND evaluator choice on the EXACT candidate volume (the
-        # histogram join above).  The cogrouped numpy kernel exists to cap
-        # hot-cell blowup (its output is ≤ k rows per (probe, cell) no
-        # matter how dense the cell), but it pays per-(cell, probe) GROUP
-        # overhead in applyInPandas plus two shuffles + an Arrow round-trip
-        # of every candidate target row.  The broadcast-join evaluator is
-        # fully whole-stage-codegen and its window input is bounded either
-        # by the carried `_cap` (tail rounds) or the sampled-cap prefilter
-        # (capless first round), so it wins far beyond the old mean-density
-        # crossover; the kernel remains for extreme volumes and annuli too
-        # wide to broadcast.
+        # Evaluator choice: the broadcast-join evaluator is fully
+        # whole-stage-codegen and its window input is bounded either by the
+        # carried `_cap` (probes with >= k candidates) or the sampled-cap
+        # prefilter (probes without one), so it is the plan at ANY exact
+        # candidate volume — the join is a linear stream that parallelizes
+        # with cores.  The cogrouped numpy kernel (k rows per (probe, cell),
+        # but two shuffles + an Arrow round-trip + Python workers per
+        # candidate row, measured two-level scaling ~0.5) remains only for
+        # annulus frames too wide to broadcast (sparse grids: many cells
+        # per probe, few candidates).
         ring_cells = (2 * hi + 1) ** 2 - ((2 * lo - 1) ** 2 if lo > 0 else 0)
         ann_rows = None if n_unsettled is None else n_unsettled * ring_cells
         exact_cand = None
-        if use_cogroup:
-            # exact candidate volume: sum of cell occupancies the annulus
-            # covers (one small join — ann is checkpoint-backed, the
-            # histogram is cached)
+        if use_cogroup and (n_nocap is None or n_nocap > 0):
+            # exact candidate volume — decides whether the capless probes
+            # need the sampled-cap prefilter.  One small join (ann is
+            # checkpoint-backed, the histogram is cached); skipped entirely
+            # on rounds where every probe already carries a cap.  A mean-
+            # density estimate is no substitute: probes sampled from skewed
+            # data sit exactly where cells are dense (measured 200x off:
+            # 730k estimated vs 143M actual first-round candidates at 32M).
             exact_cand = (
                 ann.join(cell_counts, ["_cx", "_cy"])
                 .agg(F.sum("_cn"))
@@ -441,48 +450,50 @@ def generic_knn_join(
                 or 0
             )
         round_cogroup = use_cogroup and (
-            # candidate volume big enough for the kernel's k-per-cell cap
-            # to pay for its per-group overhead ...
-            exact_cand > TAIL_ROUND_MAX_CANDIDATES
-            # ... or an annulus frame too wide to broadcast (sparse grid:
-            # many cells, few candidates)
-            or (ann_rows is not None and ann_rows > ANN_BROADCAST_MAX_ROWS)
+            ann_rows is not None and ann_rows > ANN_BROADCAST_MAX_ROWS
         )
         if round_cogroup:
+            LAST_ROUND_EVALUATORS.append("cogroup")
             cand = _cogroup_topk(
                 target_cells, ann, k, local_dist2, tie_desc_id,
                 [c for c in probe_payload if c not in PROBE_BBOX_COLS],
                 target_payload,
             )
         else:
+            has_cap = "_cap" in ann.columns
             cand = (
                 F.broadcast(ann)
                 .join(target_cells, ["_cx", "_cy"])
                 .withColumn("dist2", dist2)
             )
-            if "_cap" in ann.columns:
+            if has_cap:
                 # branch-and-bound at ROW level: a candidate farther than
                 # the probe's current k-th best can never displace it
                 # (ties at equal dist2 still pass — id order can displace)
                 cand = cand.filter(
                     F.col("_cap").isNull() | (F.col("dist2") <= F.col("_cap"))
                 )
-            elif (
+            use_scap = (
                 exact_cand is not None and exact_cand > CAP_SAMPLE_MIN_CANDIDATES
-            ):
-                # capless first round over dense cells: derive a per-probe
-                # UPPER bound of the true k-th distance from a deterministic
-                # 1/CAP_SAMPLE_RATE target sample and prune with it, so the
-                # window never sees the dense cells' full candidate volume.
-                # Safe: the k-th smallest within a subset >= the k-th
-                # smallest overall; fewer than k sampled candidates => null
-                # cap => no pruning; <= keeps distance ties (id order may
-                # still displace).
+            )
+            if use_scap:
+                # capless probes over dense cells (all of them in round one;
+                # later, probes that still found < k candidates): derive a
+                # per-probe UPPER bound of the true k-th distance from a
+                # deterministic 1/CAP_SAMPLE_RATE target sample and prune
+                # with it, so the window never sees the dense cells' full
+                # candidate volume.  Safe: the k-th smallest within a subset
+                # >= the k-th smallest overall; fewer than k sampled
+                # candidates => null cap => no pruning; <= keeps distance
+                # ties (id order may still displace).
+                ann_nocap = (
+                    ann.filter(F.col("_cap").isNull()) if has_cap else ann
+                )
                 sampled = target_cells.filter(
                     F.pmod(F.xxhash64(F.col("id")), F.lit(CAP_SAMPLE_RATE)) == 0
                 )
                 scand = (
-                    F.broadcast(ann)
+                    F.broadcast(ann_nocap)
                     .join(sampled, ["_cx", "_cy"])
                     .withColumn("dist2", dist2)
                 )
@@ -500,9 +511,14 @@ def generic_knn_join(
                     )
                     .select("qid", F.get("_ck", 0).alias("_scap"))
                 )
+                # probes with a carried _cap aren't in `caps` => null _scap
+                # => pass through (they are already row-pruned above)
                 cand = cand.join(F.broadcast(caps), "qid", "left").filter(
                     F.col("_scap").isNull() | (F.col("dist2") <= F.col("_scap"))
                 )
+            LAST_ROUND_EVALUATORS.append(
+                "broadcast+scap" if use_scap else "broadcast"
+            )
             cand = cand.select(*out_cols)
         merged = cand if carried is None else carried.unionByName(cand)
         if dedup:
@@ -562,10 +578,15 @@ def generic_knn_join(
         still = unsettled.select("qid")
         done.append(merged.join(still, "qid", "left_anti"))
         carried = merged.join(still, "qid", "left_semi")
-        # the count doubles as the isEmpty termination check AND next
-        # round's evaluator-choice input (same one job over the
-        # checkpointed frame either way)
-        n_unsettled = unsettled.count()
+        # one job over the checkpointed frame doubles as the isEmpty
+        # termination check AND next round's planning input: total unsettled
+        # (annulus width guard) and how many still lack a carried _cap
+        # (whether the histogram/prefilter jobs are needed at all)
+        counts = unsettled.agg(
+            F.count(F.lit(1)).alias("_n"), F.count("_cap").alias("_nc")
+        ).first()
+        n_unsettled = counts[0]
+        n_nocap = n_unsettled - counts[1]
         if _DEBUG:
             print(
                 f"[knn] ring [{lo},{hi}] -> unsettled={n_unsettled}"

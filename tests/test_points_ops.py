@@ -167,25 +167,29 @@ def test_cogroup_local_topk_path_matches_broadcast(spark, monkeypatch):
         )
         return out
 
-    # arming use_cogroup alone no longer forces the kernel (rounds pick the
-    # evaluator from the EXACT candidate volume) — drop the crossover to -1
-    # so every round takes the cogrouped kernel
+    # arming use_cogroup alone doesn't force the kernel (only annulus frames
+    # too wide to broadcast route there) — drop the width guard to -1 so
+    # every round takes the cogrouped kernel, and assert it actually did
     monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 1)
-    monkeypatch.setattr(knnplan, "TAIL_ROUND_MAX_CANDIDATES", -1)
+    monkeypatch.setattr(knnplan, "ANN_BROADCAST_MAX_ROWS", -1)
     got_cogroup = run_all()
+    assert set(knnplan.LAST_ROUND_EVALUATORS) == {"cogroup"}
     monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 10**12)
-    monkeypatch.setattr(knnplan, "TAIL_ROUND_MAX_CANDIDATES", 256_000_000)
+    monkeypatch.setattr(knnplan, "ANN_BROADCAST_MAX_ROWS", 4_000_000)
     got_broadcast = run_all()
+    assert set(knnplan.LAST_ROUND_EVALUATORS) == {"broadcast"}
     assert got_cogroup == got_broadcast
-    # third path: broadcast evaluator with the first-round sampled-cap
-    # prefilter forced on (normally gated behind CAP_SAMPLE_MIN_CANDIDATES;
-    # rate 2 so the test-sized sample is non-degenerate) — must stay exact,
-    # including probes whose sampled candidate set is smaller than k
+    # third path: broadcast evaluator with the sampled-cap prefilter forced
+    # on (normally gated behind CAP_SAMPLE_MIN_CANDIDATES; rate 2 so the
+    # test-sized sample is non-degenerate) — must stay exact, including
+    # probes whose sampled candidate set is smaller than k.  With the gate
+    # at 0, EVERY round with a capless probe runs the prefilter (tail
+    # rounds included), covering the carried-cap/null-cap merge too.
     monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 1)
-    monkeypatch.setattr(knnplan, "TAIL_ROUND_MAX_CANDIDATES", 10**18)
     monkeypatch.setattr(knnplan, "CAP_SAMPLE_MIN_CANDIDATES", 0)
     monkeypatch.setattr(knnplan, "CAP_SAMPLE_RATE", 2)
     got_capped = run_all()
+    assert "broadcast+scap" in set(knnplan.LAST_ROUND_EVALUATORS)
     assert got_capped == got_broadcast
     # and both match brute force for the points family
     want = _brute_knn(pts, probes, 3)
