@@ -62,15 +62,18 @@ ANN_BROADCAST_MAX_ROWS = 4_000_000
 
 #: sampled-cap prefilter: when a round has probes with no carried `_cap`
 #: (always in round one; later for probes that found < k candidates so far)
-#: and the round's exact candidate volume exceeds this, derive a per-probe
-#: upper bound of the true k-th distance from a 1/CAP_SAMPLE_RATE
-#: deterministic target sample and row-prune the full join with it before
-#: the window.  The bound is exact-safe (k-th smallest within a subset >=
-#: k-th smallest overall; probes with < k sampled candidates keep a null
-#: cap = no pruning), and it bounds the window's input at ~CAP_SAMPLE_RATE*k
-#: rows per probe regardless of cell density — measured at 32M rows / 24k
-#: probes / 143M first-round candidates: 30 s window -> ~6 s total, pure JVM.
-CAP_SAMPLE_MIN_CANDIDATES = 4_000_000
+#: at large scale (LOCAL_TOPK_MIN_TARGETS armed), derive a per-probe upper
+#: bound of the true k-th distance from a 1/CAP_SAMPLE_RATE deterministic
+#: target sample and row-prune the full join with it before the window.
+#: The bound is exact-safe (k-th smallest within a subset >= k-th smallest
+#: overall; probes with < k sampled candidates keep a null cap = no
+#: pruning), and it bounds the window's input at ~CAP_SAMPLE_RATE*k rows
+#: per probe regardless of cell density — measured at 32M rows / 24k
+#: probes / 143M first-round candidates: 30 s window -> ~6 s total, pure
+#: JVM.  (An exact candidate-volume gate — per-cell occupancy histogram +
+#: a per-round volume job — used to decide this; at 128M rows the gate's
+#: own jobs cost more than the prefilter ever saves, so capless probes at
+#: scale now always take it.)
 CAP_SAMPLE_RATE = 16
 
 #: evaluator choice of each round of the most recent generic_knn_join call
@@ -219,7 +222,15 @@ def _annulus_cells(
         d2_cell = (F.greatest(F.lit(0.0), dx - F.lit(margin)) ** 2
                    + F.greatest(F.lit(0.0), dy - F.lit(margin)) ** 2)
         out = out.filter(F.col("_cap").isNull() | (d2_cell <= F.col("_cap")))
-    return out
+    # fuse (cx, cy) into ONE long join key: a single-long equi-join key gives
+    # the broadcast join a LongHashedRelation (dense, allocation-free probes)
+    # instead of the composite-key BytesToBytesMap relation, whose lookup
+    # path was measured to stop scaling with cores entirely (570M-row
+    # candidate join at 128M targets: 13.6 s @2 cores -> 12.6 s @8; the
+    # fused key: 5.0 s -> 1.4 s, at the host's own parallel ceiling)
+    return out.withColumn("_jc", grid.pack(F.col("_cx"), F.col("_cy"))).drop(
+        "_cx", "_cy"
+    )
 
 
 def _cogroup_topk(
@@ -248,9 +259,9 @@ def _cogroup_topk(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    ann = ann.select(*probe_out, "_cx", "_cy")
-    cells = ann.select("_cx", "_cy").distinct()
-    tsub = target_cells.join(F.broadcast(cells), ["_cx", "_cy"])
+    ann = ann.select(*probe_out, "_jc")
+    cells = ann.select("_jc").distinct()
+    tsub = target_cells.join(F.broadcast(cells), ["_jc"])
     a_fields = {f.name: f for f in ann.schema.fields}
     t_fields = {f.name: f for f in target_cells.schema.fields}
     out_schema = StructType(
@@ -291,7 +302,7 @@ def _cogroup_topk(
             chunks.append(pd.DataFrame(block))
         return pd.concat(chunks, ignore_index=True)
 
-    grouped = tsub.groupBy("_cx", "_cy").cogroup(ann.groupBy("_cx", "_cy"))
+    grouped = tsub.groupBy("_jc").cogroup(ann.groupBy("_jc"))
     return grouped.applyInPandas(fn, out_schema)
 
 
@@ -383,38 +394,64 @@ def generic_knn_join(
     # per-round dedup/window/stats path.  A probe's top-k is final the round
     # it settles — its rows move to `done` and are never re-ranked again
     # (the r2 plan re-windowed every probe's accumulated rows every round).
-    # `target_cells` is persisted across rounds: its lineage otherwise
-    # re-runs the scan + geometry derivation (for segments, a DISTINCT
-    # shuffle) inside every round's candidate join.
+    #
+    # `target_cells` is persisted across rounds ONLY below the large-scale
+    # threshold: every family's target lineage is a narrow scan + Column
+    # projection (floor-arithmetic cells, least/greatest bbox, explode of a
+    # cell sequence — no shuffle anywhere), so above it the per-round
+    # re-scan is a linear columnar read that parallelizes with cores, while
+    # persisting means WRITING a second copy of the whole target side to
+    # the block store first — a data-sized, storage-bound cost that no
+    # added executor speeds up (measured at 128M rows as ~40 s of
+    # core-count-invariant kNN stage time, capping two-level scaling at
+    # 0.49; it is also the wrong plan on a real cluster, where a 100 TB
+    # target side is re-scanned pruned from columnar storage, never
+    # duplicated into executor block stores).
     from pyspark import StorageLevel
 
-    target_cells = target_cells.persist(StorageLevel.MEMORY_AND_DISK)
-    # Per-cell occupancy histogram: the evaluator choice needs the EXACT
-    # candidate volume of each round, not a mean-density guess — probes
-    # sampled from skewed data sit exactly where cells are dense, so the
-    # uniform estimate under-counts by orders of magnitude (measured 200x:
-    # 730k estimated vs 143M actual first-round candidates at 32M rows).
-    # The histogram is |occupied cells| rows (~250k at 32M points), built
-    # once per query, and each round's exact volume is one small join
-    # against the (checkpointed) annulus frame.  Only armed alongside the
-    # cogroup kernel — small datasets always take the broadcast path.
-    cell_counts: DataFrame | None = None
+    # fused long cell key (see _annulus_cells): every equi-join and groupBy
+    # below keys on `_jc` so the broadcast relations are LongHashedRelation
+    target_cells = target_cells.withColumn(
+        "_jc", grid.pack(F.col("_cx"), F.col("_cy"))
+    ).drop("_cx", "_cy")
+
+    persist_targets = n_targets < LOCAL_TOPK_MIN_TARGETS
+    if persist_targets:
+        target_cells = target_cells.persist(StorageLevel.MEMORY_AND_DISK)
     n_unsettled: int | None = None
     n_nocap: int | None = None  # unsettled probes with no carried _cap yet
     unsettled = probes
     if use_cogroup:
-        cell_counts = (
-            target_cells.groupBy("_cx", "_cy")
-            .agg(F.count("*").alias("_cn"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
         # materialize the probe frame once: every round touches it several
-        # times (annulus build, volume estimate, settle joins), and its raw
-        # lineage re-scans the probe source each time
+        # times (annulus build, settle joins), and its raw lineage re-scans
+        # the probe source each time
         unsettled = _truncate_lineage(probes)
         n_unsettled = unsettled.count()
         n_nocap = n_unsettled  # round one: nobody has a cap yet
     LAST_ROUND_EVALUATORS.clear()
+    # Round state is ONE checkpointed frame per round (`merged`): every probe
+    # still in play contributes a sentinel row (dist2 = +inf, null target), so
+    # per-probe settle statistics are window columns computed inside the same
+    # job that ranks the candidates, and the settled/unsettled/carried splits
+    # are plain filters over the checkpoint — no stats join, no second
+    # checkpoint, no semi/anti joins.  A round is exactly TWO blocking jobs
+    # (the candidate join + rank + checkpoint, then a tiny termination agg);
+    # every extra per-round job pays a fixed scheduling floor at EVERY
+    # parallelism level, which is what caps two-cluster-size scaling once the
+    # data-sized work is parallel.
+    base_probe_cols = list(probes.columns)
+    state_cols = [*base_probe_cols, *target_payload, "dist2"]
+    null_targets = [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in targets.schema.fields
+    ]
+    real = F.col("id").isNotNull()  # sentinel rows have a null target id
+    # rank sentinels strictly after real rows: a real dist² could itself
+    # overflow to +inf (extreme coordinates), and the sentinel must never
+    # displace such a row from the top-k
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("dist2").asc(), F.col("id").isNull().asc(), tie
+    )
+    wp = Window.partitionBy("qid")
     done: list[DataFrame] = []
     carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
@@ -434,21 +471,6 @@ def generic_knn_join(
         # per probe, few candidates).
         ring_cells = (2 * hi + 1) ** 2 - ((2 * lo - 1) ** 2 if lo > 0 else 0)
         ann_rows = None if n_unsettled is None else n_unsettled * ring_cells
-        exact_cand = None
-        if use_cogroup and (n_nocap is None or n_nocap > 0):
-            # exact candidate volume — decides whether the capless probes
-            # need the sampled-cap prefilter.  One small join (ann is
-            # checkpoint-backed, the histogram is cached); skipped entirely
-            # on rounds where every probe already carries a cap.  A mean-
-            # density estimate is no substitute: probes sampled from skewed
-            # data sit exactly where cells are dense (measured 200x off:
-            # 730k estimated vs 143M actual first-round candidates at 32M).
-            exact_cand = (
-                ann.join(cell_counts, ["_cx", "_cy"])
-                .agg(F.sum("_cn"))
-                .first()[0]
-                or 0
-            )
         round_cogroup = use_cogroup and (
             ann_rows is not None and ann_rows > ANN_BROADCAST_MAX_ROWS
         )
@@ -456,14 +478,14 @@ def generic_knn_join(
             LAST_ROUND_EVALUATORS.append("cogroup")
             cand = _cogroup_topk(
                 target_cells, ann, k, local_dist2, tie_desc_id,
-                [c for c in probe_payload if c not in PROBE_BBOX_COLS],
+                base_probe_cols,
                 target_payload,
             )
         else:
             has_cap = "_cap" in ann.columns
             cand = (
                 F.broadcast(ann)
-                .join(target_cells, ["_cx", "_cy"])
+                .join(target_cells, ["_jc"])
                 .withColumn("dist2", dist2)
             )
             if has_cap:
@@ -473,9 +495,15 @@ def generic_knn_join(
                 cand = cand.filter(
                     F.col("_cap").isNull() | (F.col("dist2") <= F.col("_cap"))
                 )
-            use_scap = (
-                exact_cand is not None and exact_cand > CAP_SAMPLE_MIN_CANDIDATES
-            )
+            # Arm the sampled-cap prefilter whenever capless probes exist at
+            # large scale.  An exact candidate-volume probe job used to gate
+            # this (a per-cell occupancy histogram + a per-round count job);
+            # measured at 128M rows the histogram build plus the extra
+            # blocking job cost more than the prefilter's sampled pass ever
+            # saves, and probes sampled from skewed data make a density
+            # *estimate* under-count by orders of magnitude (200x measured)
+            # — so at scale the prefilter is simply always worth it.
+            use_scap = use_cogroup and (n_nocap is None or n_nocap > 0)
             if use_scap:
                 # capless probes over dense cells (all of them in round one;
                 # later, probes that still found < k candidates): derive a
@@ -494,7 +522,7 @@ def generic_knn_join(
                 )
                 scand = (
                     F.broadcast(ann_nocap)
-                    .join(sampled, ["_cx", "_cy"])
+                    .join(sampled, ["_jc"])
                     .withColumn("dist2", dist2)
                 )
                 if dedup:
@@ -519,15 +547,24 @@ def generic_knn_join(
             LAST_ROUND_EVALUATORS.append(
                 "broadcast+scap" if use_scap else "broadcast"
             )
-            cand = cand.select(*out_cols)
+            cand = cand.select(*state_cols)
         merged = cand if carried is None else carried.unionByName(cand)
         if dedup:
             # a multi-cell target may surface through several cells/rounds
             merged = merged.dropDuplicates(["qid", "id"])
+        # one sentinel per in-play probe: guarantees every probe has a row in
+        # `merged` (rn == 1), so the termination agg and the next round's
+        # probe frame are filters of this one checkpoint — including probes
+        # whose annulus held no targets at all this round
+        sent = unsettled.select(
+            *base_probe_cols, *null_targets, F.lit(float("inf")).alias("dist2")
+        )
         merged = _truncate_lineage(
-            merged.withColumn("_rn", F.row_number().over(w))
+            merged.unionByName(sent)
+            .withColumn("_rn", F.row_number().over(w_rank))
             .filter(F.col("_rn") <= k)
-            .drop("_rn")
+            .withColumn("_cnt", F.count(F.when(real, F.lit(1))).over(wp))
+            .withColumn("_kth", F.max(F.when(real, F.col("dist2"))).over(wp))
         )
         if _DEBUG:
             print(
@@ -536,9 +573,6 @@ def generic_knn_join(
                 flush=True,
             )
 
-        stats = merged.groupBy("qid").agg(
-            F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
-        )
         n = grid.n
         big = F.lit(float("inf"))
         lx = F.lit(grid.min_x) + (F.col("_bcx0") - F.lit(hi)) * F.lit(grid.cell_w)
@@ -561,29 +595,16 @@ def generic_knn_join(
             (F.col("_cnt") >= k) & (F.col("_kth") <= bound * bound), F.lit(False)
         )
         t0 = time.monotonic() if _DEBUG else 0.0
-        unsettled = _truncate_lineage(
-            unsettled.join(stats, "qid", "left")
-            .filter(~settled)
-            .select(
-                *probes.columns,
-                # carry the k-th-best dist² forward as the next round's
-                # branch-and-bound cap (null while fewer than k found)
-                F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
-            )
-        )
-        # split this round's ranked rows by settledness: rows of probes NOT
-        # in the new unsettled set are final (cheap broadcast semi/anti
-        # joins over the checkpointed frame; block cleanup is the
-        # ContextCleaner's job — see _truncate_lineage)
-        still = unsettled.select("qid")
-        done.append(merged.join(still, "qid", "left_anti"))
-        carried = merged.join(still, "qid", "left_semi")
-        # one job over the checkpointed frame doubles as the isEmpty
-        # termination check AND next round's planning input: total unsettled
-        # (annulus width guard) and how many still lack a carried _cap
-        # (whether the histogram/prefilter jobs are needed at all)
-        counts = unsettled.agg(
-            F.count(F.lit(1)).alias("_n"), F.count("_cap").alias("_nc")
+        # ONE tiny job decides the round's fate: total unsettled (termination
+        # + annulus width guard) and how many still lack a carried _cap
+        # (whether the next round needs the prefilter).  Every probe has an
+        # rn == 1 row (sentinels), so this is a keyless agg over the
+        # checkpoint — no join.
+        counts = merged.filter(F.col("_rn") == 1).agg(
+            F.count(F.when(~settled, F.lit(1))).alias("_n"),
+            F.count(
+                F.when((~settled) & (F.col("_cnt") >= k), F.lit(1))
+            ).alias("_nc"),
         ).first()
         n_unsettled = counts[0]
         n_nocap = n_unsettled - counts[1]
@@ -595,14 +616,25 @@ def generic_knn_join(
                 flush=True,
             )
         if n_unsettled == 0:
+            done.append(merged.filter(real))  # everyone settled: all final
             break
+        # settled/carried/next-probe splits: plain filters over the round
+        # checkpoint (block cleanup is the ContextCleaner's job — see
+        # _truncate_lineage)
+        done.append(merged.filter(settled & real))
+        carried = merged.filter((~settled) & real).select(*state_cols)
+        unsettled = merged.filter((F.col("_rn") == 1) & (~settled)).select(
+            *base_probe_cols,
+            # carry the k-th-best dist² forward as the next round's
+            # branch-and-bound cap (null while fewer than k found)
+            F.when(F.col("_cnt") >= k, F.col("_kth")).alias("_cap"),
+        )
         lo, step = hi + 1, step * 2
     else:
         raise RuntimeError("generic_knn_join: ring expansion did not converge")
 
-    target_cells.unpersist()  # every output row lives in a checkpointed frame
-    if cell_counts is not None:
-        cell_counts.unpersist()
+    if persist_targets:
+        target_cells.unpersist()  # output rows live in checkpointed frames
     out = done[0]
     for part in done[1:]:
         out = out.unionByName(part)

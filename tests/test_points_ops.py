@@ -179,14 +179,13 @@ def test_cogroup_local_topk_path_matches_broadcast(spark, monkeypatch):
     got_broadcast = run_all()
     assert set(knnplan.LAST_ROUND_EVALUATORS) == {"broadcast"}
     assert got_cogroup == got_broadcast
-    # third path: broadcast evaluator with the sampled-cap prefilter forced
-    # on (normally gated behind CAP_SAMPLE_MIN_CANDIDATES; rate 2 so the
-    # test-sized sample is non-degenerate) — must stay exact, including
-    # probes whose sampled candidate set is smaller than k.  With the gate
-    # at 0, EVERY round with a capless probe runs the prefilter (tail
-    # rounds included), covering the carried-cap/null-cap merge too.
+    # third path: broadcast evaluator with the sampled-cap prefilter (armed
+    # for every capless probe whenever the large-scale machinery is — rate
+    # 2 so the test-sized sample is non-degenerate) — must stay exact,
+    # including probes whose sampled candidate set is smaller than k.
+    # EVERY round with a capless probe runs the prefilter (tail rounds
+    # included), covering the carried-cap/null-cap merge too.
     monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 1)
-    monkeypatch.setattr(knnplan, "CAP_SAMPLE_MIN_CANDIDATES", 0)
     monkeypatch.setattr(knnplan, "CAP_SAMPLE_RATE", 2)
     got_capped = run_all()
     assert "broadcast+scap" in set(knnplan.LAST_ROUND_EVALUATORS)
