@@ -83,6 +83,26 @@ def test_knn_empty_points_raises(spark):
         knn_join(empty, _probes_df(spark, [(0.0, 0.0)]), 1)
 
 
+def test_knn_overflow_dist2_not_displaced_by_sentinel(spark):
+    """A real candidate whose dist² overflows float64 to +inf must still be
+    returned: the ring loop's per-probe sentinel rows (dist2 = +inf, null id)
+    sort strictly AFTER real rows via an explicit null-id flag in the top-k
+    sort key, not by distance alone."""
+    # max float64 ~1.8e308; a (4e154)² term overflows to inf
+    pts = [(-2e154, -2e154), (2e154, 2e154)]
+    probes = [(-2e154, -2e154)]
+    grid = GridSpec(-3e154, -3e154, 3e154, 3e154, 4)
+    got = knn_join(
+        _points_df(spark, pts), _probes_df(spark, probes), 2, grid=grid
+    ).collect()
+    by_rn = {r.rn: r for r in got}
+    assert len(got) == 2
+    assert by_rn[1].id == 0 and by_rn[1].dist2 == 0.0
+    # the far point's dist² overflowed, and it is still ranked (not dropped
+    # in favor of the sentinel)
+    assert by_rn[2].id == 1 and by_rn[2].dist2 == float("inf")
+
+
 def test_nearest_duplicate_points_tie_by_id(spark):
     pts = [(1.0, 1.0), (1.0, 1.0), (5.0, 5.0)]
     got = nearest_join(_points_df(spark, pts), _probes_df(spark, [(1.0, 1.0)])).collect()
