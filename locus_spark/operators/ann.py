@@ -363,10 +363,20 @@ def embedding_near_dups(
             "_t", "_bkt"
         ),
     )
-    a = bk.select(F.col("vec_id").alias("id_a"), "_t", "_bkt")
-    b = bk.select(F.col("vec_id").alias("id_b"), "_t", "_bkt")
+    # fuse (table, bucket) into ONE long join key: a single-long equi-join
+    # key gives Spark a LongHashedRelation / long-keyed shuffle instead of
+    # the composite-key BytesToBytesMap relation, whose lookup path was
+    # measured (plans/knn.py) to stop scaling with cores; bucket ids are
+    # sign-bit integers < 2^n_planes << 2^32, so table<<32 | bucket is
+    # collision-free
+    bk = bk.select(
+        "vec_id",
+        (F.col("_t").cast("long") * F.lit(1 << 32) + F.col("_bkt")).alias("_tb"),
+    )
+    a = bk.select(F.col("vec_id").alias("id_a"), "_tb")
+    b = bk.select(F.col("vec_id").alias("id_b"), "_tb")
     rep_ids = (
-        a.join(b, ["_t", "_bkt"])
+        a.join(b, ["_tb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

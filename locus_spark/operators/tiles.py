@@ -122,10 +122,15 @@ def raster_vector_assignment(
     the raster tiles it covers and aggregate the per-tile point counts.
     Returns (id, n_tiles, n_points) — all exact integers."""
     tiles = grid.explode_covering_xy(boxes, "min_x", "max_x", "min_y", "max_y").select(
-        "id", F.col("_cx").alias("tile_x"), F.col("_cy").alias("tile_y")
+        # fused single-long tile key: keeps the tile equi-join on a
+        # LongHashedRelation (composite-key broadcast relations were
+        # measured in plans/knn.py to stop scaling with cores)
+        "id", grid.pack(F.col("_cx"), F.col("_cy")).alias("_tile"),
     )
-    pcounts = tile_point_counts(points, grid)
-    joined = tiles.join(pcounts, ["tile_x", "tile_y"], "left")
+    pcounts = tile_point_counts(points, grid).select(
+        grid.pack(F.col("tile_x"), F.col("tile_y")).alias("_tile"), "n"
+    )
+    joined = tiles.join(pcounts, ["_tile"], "left")
     return joined.groupBy("id").agg(
         F.count("*").alias("n_tiles"),
         F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_points"),
