@@ -48,6 +48,47 @@ def top_fraction_per_group(
 
     Returns the input rows (all columns) of the selected set.
     """
+    return _top_k_per_group(
+        df, group_col, order_col, id_col,
+        k_of_total=lambda total: F.ceil(F.lit(frac) * total),
+        lo=lo, hi=hi, buckets=buckets,
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    id_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Exactly the top ``min(n, n_group)`` rows of each group — the
+    "keep at most N documents per host" cap of web-corpus curation.  Same
+    two-pass histogram selection as :func:`top_fraction_per_group`: no
+    per-group global sort, so a giant host never serializes through one
+    reducer."""
+    return _top_k_per_group(
+        df, group_col, order_col, id_col,
+        k_of_total=lambda total: F.least(F.lit(n).cast("long"), total),
+        lo=lo, hi=hi, buckets=buckets,
+    )
+
+
+def _top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k_of_total,
+    lo: float,
+    hi: float,
+    buckets: int,
+) -> DataFrame:
+    """Shared exact two-pass selection; ``k_of_total`` maps the per-group
+    total-count Column to the per-group keep-count Column."""
     bucket = F.least(
         F.lit(buckets - 1),
         F.greatest(
@@ -71,7 +112,7 @@ def top_fraction_per_group(
         "_bkt",
         "_cnt",
         F.sum("_cnt").over(wdesc).alias("_cum"),       # rows at-or-above bucket
-        F.ceil(F.lit(frac) * F.sum("_cnt").over(wall)).alias("_k"),
+        k_of_total(F.sum("_cnt").over(wall)).alias("_k"),
     )
     # threshold bucket: highest bucket whose cumulative count reaches k
     thresholds = (

@@ -886,6 +886,53 @@ def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOST_CAP_N = 10
+
+# oracle: single-window formulation; the Spark side is the fixed-cap variant
+# of the two-pass histogram selection (same bit-equal quality doubles and
+# (quality desc, doc_id asc) boundary rank as doc_top_quality)
+_HOST_CAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         least(CAST(len(ts) AS DOUBLE) / 100.0e0, 1.0e0)
+           * (1.0e0 - CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+                      / CAST(len(ts) AS DOUBLE)) AS quality
+  FROM toks
+), ranked AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, source, quality FROM ranked WHERE rn <= {HOST_CAP_N}
+"""
+
+
+@register("doc_host_cap", _HOST_CAP_ORACLE)
+def q_doc_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — "keep at most N documents per source/host by
+    quality", the standard per-domain curation step of a web corpus — via
+    the fixed-cap variant of the two-pass histogram selection
+    (operators/selection.py): no per-host global sort, so a giant host
+    never serializes through one reducer."""
+    from locus_spark.operators.selection import top_n_per_group
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    return top_n_per_group(
+        scored,
+        group_col="source",
+        order_col="quality",
+        n=HOST_CAP_N,
+        id_col="doc_id",
+    )
+
+
 from locus_spark.operators.decontam import DECON_SHINGLE  # noqa: E402
 
 #: eval-set membership predicate for the registered decontamination query:

@@ -5,7 +5,7 @@ from __future__ import annotations
 import math
 import random
 
-from locus_spark.operators.selection import top_fraction_per_group
+from locus_spark.operators.selection import top_fraction_per_group, top_n_per_group
 
 
 def _truth(rows, frac):
@@ -82,6 +82,30 @@ def test_no_global_per_group_sort_in_plan(spark):
             assert "global=false" in line, f"global sort in plan: {line}"
     # no row-at-a-time Python in the hot path
     assert "BatchEvalPython" not in plan
+
+
+def test_top_n_matches_window_semantics(spark):
+    """Per-group fixed cap: top min(n, size) by (v desc, id asc), including
+    a tie-heavy group and a group smaller than the cap."""
+    rng = random.Random(23)
+    rows = (
+        [(i, "big", round(rng.random(), 6)) for i in range(500)]
+        + [(1000 + i, "tied", 0.5) for i in range(30)]
+        + [(2000 + i, "small", float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.id for r in top_n_per_group(df, "grp", "v", 10, "id", buckets=32).collect()
+    }
+    want = set()
+    by_group: dict[str, list[tuple]] = {}
+    for rid, grp, v in rows:
+        by_group.setdefault(grp, []).append((rid, v))
+    for grp, members in by_group.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        want |= {rid for rid, _ in members[:10]}
+    assert got == want
+    assert len([i for i in got if 2000 <= i < 2010]) == 3  # small group intact
 
 
 def test_out_of_range_values_clamp(spark):
