@@ -202,3 +202,65 @@ def len_quantiles(documents: DataFrame, ps: tuple[float, ...] = QUANTILE_PS) -> 
             ).alias(name)
         )
     return cum.groupBy("lang").agg(F.max("n").alias("n_docs"), *exprs)
+
+
+def remove_boilerplate_passages(
+    documents: DataFrame, passage_tokens: int = 8, min_doc_freq: int = 3
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the passage/paragraph-dedup step of
+    a web-corpus pipeline, CCNet-style): segment every document into fixed
+    ``passage_tokens``-token passages, count each distinct passage's
+    document frequency across the corpus, drop passages appearing in >=
+    ``min_doc_freq`` distinct documents, and reassemble the surviving
+    passages in their original order.
+
+    Returns (doc_id, clean_text, n_passages, n_removed).  ``clean_text`` is
+    the empty string when every passage was boilerplate.
+
+    Scale shape: one explode (linear), one distinct + map-side-combined
+    count keyed on the passage text (the df table is corpus-wide but only
+    as large as the distinct-passage set), one shuffle join back, and one
+    per-document re-aggregation — no windows, no driver-side state.  The
+    (doc, position) key makes reassembly exact under any partitioning.
+    """
+    # token-less documents are excluded (mirrors the SQL oracle, where the
+    # empty position range drops the group) — disclosed, matches the
+    # media_features empty-payload convention
+    toks = documents.select("doc_id", _tokens().alias("ts")).filter(
+        F.size("ts") >= 1
+    )
+    passages = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(passage_tokens))
+        ).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(F.slice("ts", F.col("i"), passage_tokens), " ").alias("pass_"),
+    )
+    doc_freq = (
+        passages.select("doc_id", "pass_")
+        .distinct()
+        .groupBy("pass_")
+        .agg(F.count("*").alias("_df"))
+    )
+    flagged = passages.join(doc_freq, "pass_").withColumn(
+        "_boiler", F.col("_df") >= F.lit(min_doc_freq)
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("i"), F.col("_boiler"), F.col("pass_"))
+            )
+        ),
+        lambda s: ~s["_boiler"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["pass_"])
+        ).alias("clean_text"),
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
+    )

@@ -886,6 +886,48 @@ def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_TOKENS = 8
+PASSAGE_MIN_DF = 3
+
+_PASSAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), p AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+{PASSAGE_TOKENS - 1}], ' ') AS pass_
+  FROM toks, unnest(range(1, len(ts) + 1, {PASSAGE_TOKENS})) u(i)
+  WHERE len(ts) >= 1
+), df AS (
+  SELECT pass_, count(DISTINCT doc_id) AS dfc FROM p GROUP BY pass_
+), flagged AS (
+  SELECT p.doc_id, p.i, p.pass_, (df.dfc >= {PASSAGE_MIN_DF}) AS boiler
+  FROM p JOIN df USING (pass_)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN pass_ END, ' ' ORDER BY i), '')
+         AS clean_text,
+       count(*) AS n_passages,
+       CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("doc_passage_dedup", _PASSAGE_ORACLE)
+def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-passage removal (the paragraph-dedup step of
+    a web pipeline): fixed 8-token passages, drop those shared by >= 3
+    distinct documents, reassemble the survivors in document order."""
+    from locus_spark.operators.textops import remove_boilerplate_passages
+
+    derived.register_base_tables(spark, sf_dir)
+    return remove_boilerplate_passages(
+        spark.table("documents"),
+        passage_tokens=PASSAGE_TOKENS,
+        min_doc_freq=PASSAGE_MIN_DF,
+    )
+
+
 HOST_CAP_N = 10
 
 # oracle: single-window formulation; the Spark side is the fixed-cap variant

@@ -104,3 +104,33 @@ def test_decontaminate_shuffle_path_equivalent(train, eval_docs):
         for r in decontaminate(train, eval_docs, broadcast_eval=False).collect()
     )
     assert kept == [2, 3, 4]
+
+
+def test_remove_boilerplate_passages_planted(spark):
+    """Planted boilerplate: a 4-token passage shared by 3 docs is removed,
+    a passage shared by only 2 docs survives, and reassembly preserves the
+    original passage order."""
+    from locus_spark.operators.textops import remove_boilerplate_passages
+
+    boiler = "click here to subscribe"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"{boiler} one two three four"),
+        (2, f"epsilon zeta eta theta {boiler}"),
+        # "shared pair phrase here" appears in only 2 docs -> kept
+        (3, "shared pair phrase here iota kappa lambda mu"),
+        (4, "shared pair phrase here nu xi omicron pi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_passages, r.n_removed)
+        for r in remove_boilerplate_passages(
+            df, passage_tokens=4, min_doc_freq=3
+        ).collect()
+    }
+    assert got[0] == ("alpha beta gamma delta", 2, 1)
+    assert got[1] == ("one two three four", 2, 1)
+    assert got[2] == ("epsilon zeta eta theta", 2, 1)
+    # under-threshold passages survive, order preserved
+    assert got[3] == ("shared pair phrase here iota kappa lambda mu", 2, 0)
+    assert got[4] == ("shared pair phrase here nu xi omicron pi", 2, 0)
