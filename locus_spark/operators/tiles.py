@@ -149,11 +149,19 @@ def tile_pyramid(points: DataFrame, grid: GridSpec, min_zoom: int = 0) -> DataFr
     ever-shrinking tile tables; recomputing each level from the points would
     scan the corpus ``levels`` times.  Levels are persisted — they are at most
     ``4^resolution`` rows, and the union would otherwise re-run every branch's
-    ancestor aggregations."""
+    ancestor aggregations.
+
+    The level persists are scoped to THIS call: the pyramid (≤ Σ 4^z rows —
+    tile counts, never the points) is materialized once via
+    ``localCheckpoint`` and every level's cache is released before returning,
+    so repeated invocations don't accumulate orphan cached RDDs in the block
+    store (CacheManager pins ``persist()`` entries until an explicit
+    unpersist; checkpoint blocks are ContextCleaner-tracked instead)."""
     base = (
         tile_point_counts(points, grid)
         .persist()
     )
+    cascade = [base]
     levels = [base.select(F.lit(grid.resolution).alias("zoom"), "tile_x", "tile_y", "n")]
     cur = base
     for z in range(grid.resolution - 1, min_zoom - 1, -1):
@@ -167,11 +175,15 @@ def tile_pyramid(points: DataFrame, grid: GridSpec, min_zoom: int = 0) -> DataFr
             .agg(F.sum("n").alias("n"))
             .persist()
         )
+        cascade.append(cur)
         levels.append(cur.select(F.lit(z).alias("zoom"), "tile_x", "tile_y", "n"))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out
+    result = out.localCheckpoint(eager=True)
+    for frame in cascade:
+        frame.unpersist()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -471,7 +471,10 @@ def generic_knn_join(
     # and must never be displaced by the sentinel), then the family tie
     # order; the tie key is negated for desc-id families so one ascending
     # struct sort realizes every family's order.
-    tie_struct_val = (-F.col("id")) if tie_desc_id else F.col("id")
+    # desc-id families sort ascending on ~id (bitwise complement): strictly
+    # order-reversing over the whole long range, unlike -id which overflows
+    # at Long.MIN_VALUE and would corrupt the k-th-boundary tie order
+    tie_struct_val = F.bitwise_not(F.col("id")) if tie_desc_id else F.col("id")
     sort_struct = F.struct(
         F.col("dist2").alias("_d"),
         F.col("id").isNull().alias("_sn"),
@@ -607,7 +610,16 @@ def generic_knn_join(
                 ),
             )
         )
-        merged = _truncate_lineage(
+        # Round-state materialization: below the large-scale threshold the
+        # checkpoint machinery (a dedicated eager write job per round, sized
+        # for 128M-row state) costs more than the round's actual work — there
+        # a plain persist bounds recompute (the termination agg right below
+        # fully materializes the cache in the job it runs anyway) and the
+        # round count is O(log gridsize) ≤ ~8, so lineage depth stays trivial.
+        # At scale, _truncate_lineage (localCheckpoint / reliable checkpoint)
+        # both bounds recompute AND cuts the plan, which 64 rounds of carried
+        # state would otherwise grow without bound.
+        merged_plan = (
             top.select(
                 "qid",
                 "_cnt",
@@ -622,6 +634,10 @@ def generic_knn_join(
                 "_s._p.*",
             )
         )
+        if persist_targets:
+            merged = merged_plan.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            merged = _truncate_lineage(merged_plan)
         if _DEBUG:
             print(
                 f"[knn] ring [{lo},{hi}] topk-join {time.monotonic() - t_round:.1f}s",

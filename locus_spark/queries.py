@@ -63,12 +63,58 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+#: names hoisted to the FRONT of the exported registry order: the driver's
+#: correctness harness checks a bounded prefix of ``queries()`` (50 in r3,
+#: which left the pages/events family unverified), so the least-recently
+#: verified and newest queries must sit inside that window.
+_CHECK_FIRST = [
+    "pages_extract_identity",
+    "pages_knn",
+    "pages_host_stats",
+    "events_dedup_replayed",
+    "events_sessionize",
+    "events_hourly",
+]
+
+#: names sunk to the TAIL: hash-green on identical code for two consecutive
+#: rounds (CORRECTNESS_r02 + r03) — the safest rows to leave outside a
+#: bounded check window.
+_CHECK_LAST = [
+    "kd_find_box",
+    "kd_find_ball",
+    "kd_knn",
+    "kd_knn_auto",
+    "kd_nearest",
+    "r_find_subsets",
+    "r_find_supersets",
+    "r_knn",
+    "r_nearest",
+    "seg_nearest",
+    "seg_knn",
+    "seg_nearest_to_point",
+    "seg_knn_to_point",
+    "tile_point_counts",
+    "pip_polygons",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in _CHECK_FIRST if n in _REGISTRY]
+    back = [n for n in _CHECK_LAST if n in _REGISTRY]
+    mid = [n for n in _REGISTRY if n not in set(front) | set(back)]
+    return front + mid + back
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 # ===========================================================================

@@ -37,6 +37,13 @@ QUERY_METRICS = ["box_join_rows_per_s", "ball_join_rows_per_s", "knn_rows_per_s"
 
 
 def replay_level(rows: int, probes: int, cores: int) -> dict:
+    ck = pathlib.Path(f"/tmp/locus_scaling_ck_{cores}/r{rows}_c{cores}")
+    if not ck.is_dir():
+        raise SystemExit(
+            f"missing build checkpoints at {ck} — run tools/bench_scaling.py "
+            f"--rows {rows} --low/--high {cores} first (the replay only "
+            "re-times query stages over an existing build)"
+        )
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable,
@@ -50,11 +57,23 @@ def replay_level(rows: int, probes: int, cores: int) -> dict:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise RuntimeError(f"replay failed at cores={cores}")
+    # take the LAST parseable JSON object that carries the job marker —
+    # a debug print starting with '{' (e.g. future LOCUS_KNN_DEBUG output)
+    # must not be mistaken for the report
+    report = None
     for line in proc.stdout.splitlines():
         line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON in replay output:\n{proc.stdout[-2000:]}")
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and obj.get("job") == "pages_pipeline":
+            report = obj
+    if report is None:
+        raise RuntimeError(f"no report JSON in replay output:\n{proc.stdout[-2000:]}")
+    return report
 
 
 def best_of(rows: int, probes: int, cores: int, reps: int) -> dict:
