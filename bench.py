@@ -56,7 +56,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "pipeline_training_mix",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_ivf_recall",
     "ann_ivf_top1_persisted",
     "media_features",
     "kd_knn_persisted",
@@ -80,7 +80,6 @@ CLEARS_CACHE = {
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",   # caches the SimHash fingerprint frame
-    "tile_pyramid",     # persists each rollup level
 }
 
 #: ring-loop queries leave localCheckpoint blocks behind (they are NOT in
@@ -89,6 +88,7 @@ CLEARS_CACHE = {
 #: accumulated round state doesn't pressure later queries' memory.
 RING_STATE = {
     "dedup_clusters",  # label-propagation rounds localCheckpoint their state
+    "tile_pyramid",    # result materialized via localCheckpoint (levels self-release)
     "kd_nearest",
     "kd_knn",
     "kd_knn_persisted",

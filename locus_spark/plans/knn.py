@@ -611,14 +611,14 @@ def generic_knn_join(
             )
         )
         # Round-state materialization: below the large-scale threshold the
-        # checkpoint machinery (a dedicated eager write job per round, sized
+        # EAGER checkpoint machinery (a dedicated write job per round, sized
         # for 128M-row state) costs more than the round's actual work — there
-        # a plain persist bounds recompute (the termination agg right below
-        # fully materializes the cache in the job it runs anyway) and the
-        # round count is O(log gridsize) ≤ ~8, so lineage depth stays trivial.
-        # At scale, _truncate_lineage (localCheckpoint / reliable checkpoint)
-        # both bounds recompute AND cuts the plan, which 64 rounds of carried
-        # state would otherwise grow without bound.
+        # a LAZY localCheckpoint truncates lineage without its own job: the
+        # keyless termination agg right below scans every partition anyway,
+        # so the blocks are stored inside the job that first consumes them,
+        # and (unlike persist) the blocks stay ContextCleaner-tracked rather
+        # than pinned in the CacheManager.  At scale, _truncate_lineage keeps
+        # the eager persist-first protocol the reliable-checkpoint mode needs.
         merged_plan = (
             top.select(
                 "qid",
@@ -635,7 +635,7 @@ def generic_knn_join(
             )
         )
         if persist_targets:
-            merged = merged_plan.persist(StorageLevel.MEMORY_AND_DISK)
+            merged = merged_plan.localCheckpoint(eager=False)
         else:
             merged = _truncate_lineage(merged_plan)
         if _DEBUG:

@@ -74,6 +74,10 @@ _CHECK_FIRST = [
     "events_dedup_replayed",
     "events_sessionize",
     "events_hourly",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_lsh_topk_planted",
+    "ann_ivf_topk_planted",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -1301,14 +1305,76 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, probes, ANN_K)
 
 
-@register("ann_lsh_topk", None)  # approximate path — rows-only; recall tested in pytest
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: side-parquet dir for the ANN recall oracles: each recall query OVERWRITES
+#: its approximate result's (qid, vec_id) here before returning, and its
+#: DuckDB oracle reads the same files — valid because the harness always runs
+#: the Spark query before its oracle (tools/check_oracle.py order; the
+#: driver's gate does the same).  The path is sf-independent on purpose: the
+#: overwrite makes whatever sf runs last the one both engines see.
+import tempfile as _tempfile  # noqa: E402
+
+_ANN_SIDE_DIR = f"{_tempfile.gettempdir()}/locus_spark_ann"
+
+
+def _ann_recall_oracle(ids_path: str) -> str:
+    """DuckDB recall oracle: its OWN brute-force exact top-k, left-joined
+    against the approximate ids the Spark query persisted.  The approximate
+    side enters both engines as data (deterministic — seeded planes /
+    centroids); the value-verified parts are the exact top-k, the
+    intersection, and the recall arithmetic — and the measured recall itself
+    becomes a hash-checked artifact instead of a pytest-only claim."""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT q.qid AS qid, e.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+), exact AS (
+  SELECT qid, vec_id FROM ranked WHERE rn <= {ANN_K}
+), apx AS (
+  SELECT qid, vec_id FROM read_parquet('{ids_path}/*.parquet')
+)
+SELECT e.qid AS qid,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       CAST(count(a.vec_id) AS DOUBLE) / CAST({ANN_K} AS DOUBLE) AS recall
+FROM exact e LEFT JOIN apx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY e.qid
+"""
+
+
+def _recall_vs_exact(
+    spark: SparkSession, approx: DataFrame, exact: DataFrame, ids_path: str
+) -> DataFrame:
+    """Persist the approximate ids, read them back (so Spark computes recall
+    over the same artifact the oracle reads), and emit per-qid recall."""
+    approx.select("qid", "vec_id").write.mode("overwrite").parquet(ids_path)
+    apx = spark.read.parquet(ids_path).withColumn("_hit", F.lit(1))
+    joined = exact.select("qid", "vec_id").join(apx, ["qid", "vec_id"], "left")
+    return joined.groupBy("qid").agg(
+        F.count("_hit").alias("n_hit"),
+        (F.count("_hit").cast("double") / F.lit(float(ANN_K))).alias("recall"),
+    )
+
+
+@register("ann_lsh_recall", _ann_recall_oracle(f"{_ANN_SIDE_DIR}/lsh_topk_ids"))
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-distribution hyperplane-LSH top-k, value-checked via its
+    RECALL against the exact brute force: the approximate run (deterministic
+    — seeded planes) is persisted as data for both engines, each engine
+    computes its own exact top-k, and the per-probe hit counts must agree.
+    Replaces the former rows-only ``ann_lsh_topk`` row; the jittered recall
+    floor is additionally pytest-asserted (tests/test_pipeline_ops.py)."""
     derived.register_base_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     probes = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, probes, ANN_K, n_planes=6, n_tables=8)
+    approx = lsh_topk(emb, probes, ANN_K, n_planes=6, n_tables=8)
+    exact = cosine_topk(emb, probes, ANN_K)
+    return _recall_vs_exact(spark, approx, exact, f"{_ANN_SIDE_DIR}/lsh_topk_ids")
 
 
 _EMB_LDP = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
@@ -1425,6 +1491,79 @@ def q_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(aug, probes, 1, n_planes=6, n_tables=8)
 
 
+# top-K planted fixture: THREE copies per planted original, scaled by 2, 4
+# and 8.  Powers of two make every derived float exact-scaled (c·x rounds to
+# exactly c·round(x) for c = 2^k), so (a) every hyperplane sign and every
+# centroid cosine is bit-identical to the original's — the copies share its
+# bucket in EVERY LSH table and its IVF cluster, making the approximate path
+# provably complete at k=3 — and (b) cos(v, c·v) is the SAME float for all
+# three copies (the c cancels exactly through dot, norm and sqrt), so the
+# top-3 tie order is purely the vec_id order, identical in both engines.
+ANN_PLANTED_K = 3
+
+_SCALES3 = ((10_000_000, "2.0e0"), (20_000_000, "4.0e0"), (30_000_000, "8.0e0"))
+
+_EMB_AUG3_SPARK = "\nUNION ALL\n".join(
+    ["""SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings"""]
+    + [
+        f"""SELECT vec_id + {off} AS vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE) * {scale}) AS embedding
+FROM embeddings WHERE vec_id % 20 = 0"""
+        for off, scale in _SCALES3
+    ]
+)
+
+_EMB_AUG3_DUCK = _EMB_AUG3_SPARK.replace("transform(", "list_transform(")
+
+_ANN_PLANTED_TOPK_ORACLE = f"""
+WITH aug AS ({_EMB_AUG3_DUCK})
+, q AS (SELECT vec_id AS qid, embedding AS qv FROM aug
+        WHERE vec_id % 20 = 0 AND vec_id < 200)
+, cand AS (
+  SELECT q.qid AS qid, a.vec_id AS vec_id, {_COS_AQ} AS cos
+  FROM aug a CROSS JOIN q
+  WHERE a.vec_id <> q.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= {ANN_PLANTED_K}
+"""
+
+
+@register("ann_lsh_topk_planted", _ANN_PLANTED_TOPK_ORACLE)
+def q_ann_lsh_topk_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN at k > 1 with a deterministic exactness guarantee: each
+    probe's true top-3 are its three power-of-two scaled copies (cos ≈ 1 vs
+    ≤ ~0.51 natural; equal cos floats, vec_id tie order), every copy shares
+    the probe's bucket in every table, so the approximate top-3 equals the
+    brute-force oracle — full value equality through the same k-slicing and
+    ranking code the general top-k runs."""
+    derived.register_base_tables(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG3_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(aug, probes, ANN_PLANTED_K, n_planes=6, n_tables=8)
+
+
+@register("ann_ivf_topk_planted", _ANN_PLANTED_TOPK_ORACLE)
+def q_ann_ivf_topk_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at k > 1 with the same planted exactness guarantee: scaled
+    copies have bit-identical centroid cosines (argmax never flips), so the
+    probe's own cluster — always among its n_probe — holds all three."""
+    from locus_spark.operators.ann import ivf_topk
+
+    derived.register_base_tables(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG3_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = _ivf_centroids(spark, sf_dir, "planted3", aug)
+    return ivf_topk(aug, probes, ANN_PLANTED_K, n_probe=4, centroids=cents)
+
+
 #: trained IVF centroids memoized per (sf_dir, corpus tag) — k-means is
 #: deterministic (seeded init + fixed Lloyd rounds), so retraining inside
 #: every query call would only burn jobs re-deriving the same vectors.
@@ -1460,10 +1599,12 @@ def q_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(aug, probes, 1, n_probe=4, centroids=cents)
 
 
-@register("ann_ivf_topk", None)  # approximate path — rows-only; recall in pytest
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General IVF top-k (approximate; recall vs the exact brute force is
-    pytest-asserted, tests/test_pipeline_ops.py)."""
+@register("ann_ivf_recall", _ann_recall_oracle(f"{_ANN_SIDE_DIR}/ivf_topk_ids"))
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-distribution IVF top-k value-checked via its recall against
+    the exact brute force — same protocol as ``ann_lsh_recall`` (approximate
+    run persisted as data; both engines independently compute the exact side
+    and the hit counts).  Replaces the former rows-only ``ann_ivf_topk``."""
     from locus_spark.operators.ann import ivf_topk
 
     derived.register_base_tables(spark, sf_dir)
@@ -1472,7 +1613,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     cents = _ivf_centroids(spark, sf_dir, "raw", emb)
-    return ivf_topk(emb, probes, ANN_K, n_probe=4, centroids=cents)
+    approx = ivf_topk(emb, probes, ANN_K, n_probe=4, centroids=cents)
+    exact = cosine_topk(emb, probes, ANN_K)
+    return _recall_vs_exact(spark, approx, exact, f"{_ANN_SIDE_DIR}/ivf_topk_ids")
 
 
 def _persisted_ivf_layout(
