@@ -144,6 +144,55 @@ def find_supersets_join(
     return joined.filter(_subset_pred("_q", "")).select("qid", *BOX_COLS)
 
 
+def find_overlaps_join(
+    boxes: DataFrame,
+    query_boxes: DataFrame,
+    grid: GridSpec | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """All (probe, indexed box) pairs whose interiors intersect — the
+    reference's STRICT ``overlaps`` predicate
+    (``/root/reference/locus/_core/box.py:12-18``; open inequalities, so
+    boxes sharing only an edge or corner do NOT overlap).
+
+    Plan: both sides explode to covering cells and candidates meet on the
+    cell equi-join.  An overlapping pair shares every cell covering its
+    intersection rectangle and would surface once per shared cell; the
+    REPORT-ONCE rule keeps it only in the canonical cell of the
+    intersection's min corner (``max(min_x)``, ``max(min_y)`` — a point
+    inside both boxes whenever they overlap, hence always one of the shared
+    join cells), replacing the ``dropDuplicates`` shuffle a naive plan
+    needs.  Returns ``(qid, id, min_x, max_x, min_y, max_y)``."""
+    if grid is None:
+        grid = grid_from_boxes(boxes)
+    b = grid.explode_covering(boxes, "min_x", "max_x", "min_y", "max_y", "_cell")
+    q = query_boxes.select(
+        "qid",
+        F.col("min_x").alias("_qmin_x"),
+        F.col("max_x").alias("_qmax_x"),
+        F.col("min_y").alias("_qmin_y"),
+        F.col("max_y").alias("_qmax_y"),
+    )
+    qcells = grid.explode_covering(
+        q, "_qmin_x", "_qmax_x", "_qmin_y", "_qmax_y", cell_name="_cell"
+    )
+    if broadcast_queries:
+        qcells = F.broadcast(qcells)
+    joined = qcells.join(b, "_cell")
+    strict = (
+        (F.col("_qmin_x") < F.col("max_x"))
+        & (F.col("min_x") < F.col("_qmax_x"))
+        & (F.col("_qmin_y") < F.col("max_y"))
+        & (F.col("min_y") < F.col("_qmax_y"))
+    )
+    canonical = grid.cell_col(
+        F.greatest("min_x", "_qmin_x"), F.greatest("min_y", "_qmin_y")
+    )
+    return joined.filter(strict & (F.col("_cell") == canonical)).select(
+        "qid", *BOX_COLS
+    )
+
+
 def box_knn_join(
     boxes: DataFrame,
     probes: DataFrame,

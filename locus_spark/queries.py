@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "ann_ivf_recall",
     "ann_lsh_topk_planted",
     "ann_ivf_topk_planted",
+    "r_overlaps",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -368,6 +369,29 @@ def r_find_subsets_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = _persisted_boxes_layout(spark, sf_dir)
     qb = derived.load(spark, sf_dir, "query_boxes")
     return find_subsets_over_layout(layout, qb, WORLD_GRID)
+
+
+_OVERLAPS_ORACLE = f"""
+{derived.with_ctes('boxes', 'query_boxes')}
+SELECT q.qid AS qid, {_BOX_OUT}
+FROM query_boxes q
+JOIN boxes b
+  ON q.min_x < b.max_x AND b.min_x < q.max_x
+ AND q.min_y < b.max_y AND b.min_y < q.max_y
+"""
+
+
+@register("r_overlaps", _OVERLAPS_ORACLE)
+def r_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 strict ``overlaps`` (/root/reference/locus/_core/box.py:12-18) as a
+    first-class join: cell equi-join candidates, exact open-inequality
+    predicate, report-once on the intersection min-corner cell (no
+    dropDuplicates shuffle)."""
+    from locus_spark.operators.boxes import find_overlaps_join
+
+    b = derived.load(spark, sf_dir, "boxes")
+    q = derived.load(spark, sf_dir, "query_boxes")
+    return find_overlaps_join(b, q, grid=WORLD_GRID)
 
 
 _SUPERSETS_ORACLE = f"""

@@ -132,3 +132,49 @@ def test_box_knn_tie_prefers_larger_id(spark):
     pdf = spark.createDataFrame([(0, 0.5, 0.5)], "qid long, x double, y double")
     got = box_knn_join(_boxes_df(spark, boxes), pdf, 1).collect()
     assert len(got) == 1 and got[0].id == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(box_strategy, min_size=2, max_size=50),
+    st.lists(box_strategy, min_size=1, max_size=5),
+)
+def test_find_overlaps_sound_complete(spark, raw_b, raw_q):
+    from locus_spark.operators.boxes import find_overlaps_join
+
+    boxes, queries = _mk_boxes(raw_b), _mk_boxes(raw_q)
+    got = [
+        (r.qid, r.id)
+        for r in find_overlaps_join(
+            _boxes_df(spark, boxes), _qboxes_df(spark, queries)
+        ).collect()
+    ]
+    # report-once: the canonical-cell rule must emit each pair exactly once
+    assert len(got) == len(set(got))
+    expect = {
+        (q[0], b[0])
+        for q in queries
+        for b in boxes
+        if q[1] < b[2] and b[1] < q[2] and q[3] < b[4] and b[3] < q[4]
+    }
+    assert set(got) == expect
+
+
+def test_overlaps_is_strict_on_shared_edges(spark):
+    """Reference C2 uses OPEN inequalities (/root/reference/locus/_core/box.py:12-18):
+    boxes meeting only at an edge or a corner do not overlap."""
+    from locus_spark.operators.boxes import find_overlaps_join
+
+    boxes = [
+        (1, 0.0, 1.0, 0.0, 1.0),   # shares the x=1 edge with the probe
+        (2, 1.0, 2.0, 1.0, 2.0),   # shares only the (1,1) corner
+        (3, 0.5, 1.5, 0.5, 1.5),   # genuine interior intersection
+    ]
+    probe = [(7, 1.0, 3.0, 0.0, 1.0)]
+    got = sorted(
+        (r.qid, r.id)
+        for r in find_overlaps_join(
+            _boxes_df(spark, boxes), _qboxes_df(spark, probe)
+        ).collect()
+    )
+    assert got == [(7, 3)]
