@@ -79,6 +79,8 @@ _CHECK_FIRST = [
     "ann_lsh_topk_planted",
     "ann_ivf_topk_planted",
     "r_overlaps",
+    "kd_find_box_incremental",
+    "kd_knn_incremental",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -286,6 +288,57 @@ def kd_knn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = _persisted_points_layout(spark, sf_dir).select("id", "x", "y")
     qp = derived.load(spark, sf_dir, "query_points")
     return knn_join(layout, qp, KNN_K, grid=WORLD_GRID)
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance: the reference trees are immutable (rebuild
+# per update); at 100 TB a full rebuild per ingest batch is not a plan —
+# serve base ∪ delta between compactions, then fold the delta in by
+# re-sorting ONLY the Hilbert ranges it touches (operators/maintenance.py).
+# The oracles are the FULL-table oracles: an incremental layout that serves
+# anything other than exactly the full-rebuild answer is wrong.
+# ---------------------------------------------------------------------------
+
+
+def _points_base_delta(spark: SparkSession, sf_dir: str):
+    """Deterministic 90/10 partition of the points table into a "built
+    long ago" base and a "just ingested" delta batch."""
+    pts = derived.load(spark, sf_dir, "points")
+    is_delta = F.pmod(F.xxhash64(F.col("id")), F.lit(10)) == 9
+    return pts.filter(~is_delta), pts.filter(is_delta)
+
+
+@register("kd_find_box_incremental", _FIND_BOX_ORACLE)
+def kd_find_box_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 range search over base ∪ delta WITHOUT compaction: the delta
+    batch is cell-indexed against the frozen base grid and unioned in; the
+    probe boxes' cell pruning applies to both sides, so results equal the
+    full-rebuild answer bit-for-bit (same oracle as kd_find_box)."""
+    from locus_spark.cells import cluster_by_hilbert
+    from locus_spark.operators.maintenance import delta_layout, merged_layout
+    from locus_spark.operators.points import find_box_over_layout
+
+    base, delta = _points_base_delta(spark, sf_dir)
+    base_layout = cluster_by_hilbert(base, WORLD_GRID, num_partitions=8)
+    layout = merged_layout(base_layout, delta_layout(delta, WORLD_GRID))
+    qb = derived.load(spark, sf_dir, "query_boxes")
+    return find_box_over_layout(layout, qb, WORLD_GRID)
+
+
+@register("kd_knn_incremental", _KNN_ORACLE_TMPL.format(k=KNN_K, rn_col=", rn"))
+def kd_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 kNN over the RANGED-COMPACTED layout: the delta is folded into
+    the base by re-sorting only the touched Hilbert ranges; the compacted
+    table must answer exactly like a full rebuild (same oracle as
+    kd_knn)."""
+    from locus_spark.cells import cluster_by_hilbert
+    from locus_spark.operators.maintenance import compact, delta_layout
+
+    base, delta = _points_base_delta(spark, sf_dir)
+    base_layout = cluster_by_hilbert(base, WORLD_GRID, num_partitions=8)
+    layout, _ = compact(base_layout, delta_layout(delta, WORLD_GRID))
+    qp = derived.load(spark, sf_dir, "query_points")
+    return knn_join(layout.select("id", "x", "y"), qp, KNN_K, grid=WORLD_GRID)
 
 
 def _persisted_boxes_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

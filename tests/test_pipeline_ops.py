@@ -449,12 +449,12 @@ def test_simhash_clusters_match_pair_expansion(spark):
     assert fast[200] == 200                      # singleton keeps itself
 
 
-def test_tile_pyramid_scans_points_once(spark):
-    """Coarser zooms must reaggregate the persisted base level, not rescan
-    the input: exactly one branch of the union plan touches the source."""
-    import contextlib
-    import io
-
+def test_tile_pyramid_releases_level_caches(spark):
+    """The per-level persists are scoped to the call: after tile_pyramid
+    returns (result materialized via localCheckpoint), only the result's
+    own checkpoint blocks remain — repeated invocations must not
+    accumulate orphan cached level frames in the block store (r3 verdict:
+    each call used to leak ≤ levels × 4^res cached rows)."""
     from locus_spark.operators.tiles import tile_pyramid
 
     g = GridSpec(0.0, 0.0, 8.0, 8.0, 2)
@@ -462,14 +462,19 @@ def test_tile_pyramid_scans_points_once(spark):
         [(i, float(i % 8), float(i % 8)) for i in range(64)],
         "id long, x double, y double",
     )
-    pyr = tile_pyramid(pts, g, min_zoom=0)
-    try:
-        pyr.count()  # materialize the persisted levels
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            pyr.explain("formatted")
-        plan = buf.getvalue()
-        # every level branch reads cached data; nothing re-walks the rows
-        assert plan.count("InMemoryTableScan") >= 3
-    finally:
-        spark.catalog.clearCache()
+
+    def n_persisted() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    before = n_persisted()
+    results = []
+    for _ in range(2):
+        pyr = tile_pyramid(pts, g, min_zoom=0)
+        assert pyr.count() > 0  # values are oracle-checked (tile_pyramid row)
+        results.append(pyr)
+    # each invocation may keep exactly its OWN materialized result block;
+    # orphaned level persists (3 levels here) would show up on top of that
+    leaked = n_persisted() - before - len(results)
+    assert leaked <= 0, f"{leaked} orphan cached RDDs leaked by tile_pyramid"
+    for r in results:
+        r.rdd.unpersist()
