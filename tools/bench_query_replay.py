@@ -52,6 +52,13 @@ def replay_level(rows: int, probes: int, cores: int) -> dict:
         "--probes", str(probes),
         "--cores", str(cores),
         "--checkpoint", f"/tmp/locus_scaling_ck_{cores}",
+        # 4 timed reps per query stage: whole-stage-codegen JIT keeps
+        # improving the kNN wall through the third rep at the high level
+        # (measured at 128M/96k: 8-core reps 78.7 -> 44.5 -> 30.7 -> 32.0 s;
+        # 2-core reps converge a rep earlier because each rep gives C2 ~4x
+        # more wall over the same hot loops).  min-of-2 under-reports the
+        # high level and deflates the efficiency ratio.
+        "--query-reps", "4",
     ]
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -88,6 +95,13 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--marker",
+        default="queryscaling",
+        help="BENCH.md comment-marker block to (over)write — pass e.g. "
+        "'probescaling' for an alternate (rows, probes) datapoint so the "
+        "flagship block is not clobbered",
+    )
     args = ap.parse_args()
     factor = args.high / args.low
 
@@ -114,7 +128,11 @@ def main() -> None:
         "levels over each level's already-built checkpoints (build stages",
         "resume from parquet — identical input bytes to the fresh run's",
         f"query stages), best of {args.reps} replays per level, warm",
-        "min-of-reps inside each replay.  The fresh-run table above remains",
+        "min-of-4-reps inside each replay (codegen JIT keeps improving the",
+        "kNN wall through the third rep at the high level — each rep there",
+        "is ~4x shorter, so C2 sees ~4x less of the hot loop per rep; 2",
+        "reps under-report the high level and deflate the ratio).  The",
+        "fresh-run table above remains",
         "the build-stage evidence; a single post-build query sample there",
         "rides on whatever JVM/page-cache state the build left behind and",
         "swings the flagship ratio by 2x run-to-run on this shared VM.",
@@ -137,15 +155,18 @@ def main() -> None:
     ]
     block = "\n".join(lines)
     bench_md = REPO / "BENCH.md"
-    begin, end = "<!-- queryscaling:begin -->", "<!-- queryscaling:end -->"
+    begin, end = f"<!-- {args.marker}:begin -->", f"<!-- {args.marker}:end -->"
     text = bench_md.read_text()
     if begin in text:
         head, rest = text.split(begin, 1)
         _, tail = rest.split(end, 1)
         text = head + begin + "\n" + block + "\n" + end + tail
     else:
-        # insert right after the fresh-run scaling block
-        anchor = "<!-- scaling:end -->"
+        # insert after the flagship query-replay block when present, else
+        # right after the fresh-run scaling block
+        anchor = "<!-- queryscaling:end -->"
+        if anchor not in text:
+            anchor = "<!-- scaling:end -->"
         head, tail = text.split(anchor, 1)
         text = head + anchor + "\n\n" + begin + "\n" + block + "\n" + end + tail
     bench_md.write_text(text)

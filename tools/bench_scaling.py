@@ -205,9 +205,13 @@ def main() -> None:
         "timed stage; query stages report the fastest of several warm executions",
         "(single warm runs at the high level are short enough that one GC pause",
         "swings the two-level ratio by ±40% — min-of-reps denoises without changing",
-        f"what is measured), and each level runs {args.repeats} full fresh jobs",
+        f"what is measured), and each level runs {args.repeats} full fresh"
+        f" job{'s' if args.repeats != 1 else ''}",
         "with the per-stage best kept (build stages execute once per job, so",
-        "only a whole repeat can smooth a background-load dent in them).",
+        "only a whole repeat can smooth a background-load dent in them; the",
+        "warm-replay block below is the query-stage evidence — it re-times the",
+        "query stages over each level's already-built checkpoints, which is the",
+        "steady state a long-lived cluster serves from).",
         "",
         "Job: `jobs/run.py` — synth pages → extract text (byte-identity) →",
         "geocode (xxhash64) → Hilbert cell index (salted hot cells) →",
