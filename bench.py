@@ -33,6 +33,7 @@ HEADLINE = [
     "kd_knn",
     "r_find_subsets",
     "r_find_supersets",
+    "r_overlaps",
     "r_knn",
     "seg_knn_to_point",
     "seg_knn",
@@ -60,6 +61,7 @@ HEADLINE = [
     "ann_ivf_top1_persisted",
     "media_features",
     "kd_knn_persisted",
+    "kd_knn_incremental",
     "r_find_subsets_persisted",
     "seg_knn_persisted",
     "events_hourly",
@@ -92,6 +94,7 @@ RING_STATE = {
     "kd_nearest",
     "kd_knn",
     "kd_knn_persisted",
+    "kd_knn_incremental",
     "r_knn",
     "seg_knn",
     "seg_knn_to_point",

@@ -36,7 +36,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 QUERY_METRICS = ["box_join_rows_per_s", "ball_join_rows_per_s", "knn_rows_per_s"]
 
 
-def replay_level(rows: int, probes: int, cores: int) -> dict:
+def replay_level(rows: int, probes: int, cores: int, query_reps: int = 4) -> dict:
     ck = pathlib.Path(f"/tmp/locus_scaling_ck_{cores}/r{rows}_c{cores}")
     if not ck.is_dir():
         raise SystemExit(
@@ -57,8 +57,11 @@ def replay_level(rows: int, probes: int, cores: int) -> dict:
         # (measured at 128M/96k: 8-core reps 78.7 -> 44.5 -> 30.7 -> 32.0 s;
         # 2-core reps converge a rep earlier because each rep gives C2 ~4x
         # more wall over the same hot loops).  min-of-2 under-reports the
-        # high level and deflates the efficiency ratio.
-        "--query-reps", "4",
+        # high level and deflates the efficiency ratio.  Alternate-load
+        # datapoints (e.g. the 1M-probe block) pass fewer reps: their walls
+        # are ~10x longer, so each rep already gives the JIT the hot-loop
+        # exposure four short reps give the flagship load.
+        "--query-reps", str(query_reps),
     ]
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -83,8 +86,8 @@ def replay_level(rows: int, probes: int, cores: int) -> dict:
     return report
 
 
-def best_of(rows: int, probes: int, cores: int, reps: int) -> dict:
-    runs = [replay_level(rows, probes, cores) for _ in range(reps)]
+def best_of(rows: int, probes: int, cores: int, reps: int, query_reps: int) -> dict:
+    runs = [replay_level(rows, probes, cores, query_reps) for _ in range(reps)]
     return {m: max(r[m] for r in runs) for m in QUERY_METRICS}
 
 
@@ -96,6 +99,12 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
+        "--query-reps", type=int, default=4,
+        help="timed executions per query stage inside each replay (min is "
+        "kept); 4 for the short flagship-load walls, fewer for long "
+        "alternate-load walls where one rep already warms the JIT",
+    )
+    ap.add_argument(
         "--marker",
         default="queryscaling",
         help="BENCH.md comment-marker block to (over)write — pass e.g. "
@@ -105,8 +114,8 @@ def main() -> None:
     args = ap.parse_args()
     factor = args.high / args.low
 
-    lo = best_of(args.rows, args.probes, args.low, args.reps)
-    hi = best_of(args.rows, args.probes, args.high, args.reps)
+    lo = best_of(args.rows, args.probes, args.low, args.reps, args.query_reps)
+    hi = best_of(args.rows, args.probes, args.high, args.reps, args.query_reps)
     eff = {m: round(hi[m] / (factor * lo[m]), 3) for m in QUERY_METRICS}
     report = {
         "metric": "query_stage_scaling_replay",
@@ -128,7 +137,7 @@ def main() -> None:
         "levels over each level's already-built checkpoints (build stages",
         "resume from parquet — identical input bytes to the fresh run's",
         f"query stages), best of {args.reps} replays per level, warm",
-        "min-of-4-reps inside each replay (codegen JIT keeps improving the",
+        f"min-of-{args.query_reps}-reps inside each replay (codegen JIT keeps improving the",
         "kNN wall through the third rep at the high level — each rep there",
         "is ~4x shorter, so C2 sees ~4x less of the hot loop per rep; 2",
         "reps under-report the high level and deflate the ratio).  The",
@@ -150,7 +159,8 @@ def main() -> None:
         "",
         "Reproduce: `python tools/bench_query_replay.py"
         f" --rows {args.rows} --probes {args.probes}"
-        f" --low {args.low} --high {args.high} --reps {args.reps}`"
+        f" --low {args.low} --high {args.high} --reps {args.reps}"
+        f" --query-reps {args.query_reps} --marker {args.marker}`"
         " (after a bench_scaling.py run has built the checkpoints).",
     ]
     block = "\n".join(lines)
