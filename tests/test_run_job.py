@@ -1,0 +1,70 @@
+"""End-to-end drive of the spark-submit entry (jobs/run.py) as a real
+subprocess — the exact surface `tools/bench_scaling.py` and a cluster
+submit exercise: fresh build, report JSON, then a resumed re-run that
+must short-circuit the build stages from their parquet checkpoints."""
+
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(tmp: pathlib.Path, fresh: bool) -> tuple[dict, float]:
+    cmd = [
+        sys.executable,
+        str(REPO / "jobs" / "run.py"),
+        "--rows", "40000",
+        "--probes", "200",
+        "--cores", "4",
+        "--parts", "8",
+        "--query-reps", "1",
+        "--checkpoint", str(tmp / "ck"),
+    ] + (["--fresh"] if fresh else [])
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    wall = time.monotonic() - t0
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if obj.get("job") == "pages_pipeline":
+                report = obj
+    assert report is not None, proc.stdout[-2000:]
+    return report, wall
+
+
+def test_run_job_fresh_then_resume(tmp_path):
+    fresh, _ = _run(tmp_path, fresh=True)
+    assert fresh["rows"] == 40000
+    assert fresh["probes"] > 0
+    assert fresh["knn_result_rows"] == fresh["probes"] * 5  # k=5, dense world
+    for m in ("geocode_rows_per_s", "index_build_rows_per_s",
+              "box_join_rows_per_s", "ball_join_rows_per_s", "knn_rows_per_s"):
+        assert fresh[m] > 0, m
+
+    # manifests: every stage complete, per-partition lineage present
+    ck = tmp_path / "ck" / "r40000_c4"
+    stages = sorted(p.parent.name for p in ck.glob("*/manifest.json"))
+    assert stages == ["cell_index", "geocoded"]
+    for s in stages:
+        man = json.loads((ck / s / "manifest.json").read_text())
+        assert man["status"] == "complete"
+        assert man["rows"] == 40000
+        assert sum(p["rows"] for p in man["partitions"]) == man["rows"]
+
+    # resumed run: identical query answers, builds served from parquet
+    resumed, _ = _run(tmp_path, fresh=False)
+    for key in ("probes", "box_join_result_rows", "ball_join_result_rows",
+                "knn_result_rows"):
+        assert resumed[key] == fresh[key], key
+    # a resumed "build" is a parquet read of 40k rows — orders of magnitude
+    # above a real build's throughput at this size
+    assert resumed["geocode_rows_per_s"] > 2 * fresh["geocode_rows_per_s"]
