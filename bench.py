@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_recall",
     "ann_ivf_top1_persisted",
+    "ann_pq_recall",
     "media_features",
     "kd_knn_persisted",
     "kd_knn_incremental",

@@ -1,0 +1,276 @@
+"""Product quantization (PQ) for embedding ANN — the storage/bandwidth scale
+path on top of IVF.
+
+Reference semantics: approximate cosine/dot top-k over an embedding column
+(same operator family as ``operators/ann.py``; the reference engine has no PQ
+— this is a pipeline-mandate addition).  Algorithm: Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 (public).
+
+Why it exists at 100 TB: a 64-dim float64 vector is 512 bytes; its PQ code is
+``m`` small ints (8 here → 8 bytes as packed tinyints, 64× smaller).  The
+candidate-scoring scan — the stage that touches EVERY vector in the probed
+IVF clusters — reads and shuffles only codes; full vectors are fetched by a
+final vec_id equi-join for exactly the ``shortlist`` re-rank survivors per
+probe.  At cluster scale that turns the hot scan from ~bytes-of-corpus into
+~bytes-of-corpus/64 and makes the re-rank I/O proportional to the output, not
+the input.
+
+Scale shapes, per stage:
+- training: one exploded (sub, subvector) frame; each Lloyd round is an
+  Arrow-batched argmin assignment + a posexplode→groupBy(sub, code, pos)→avg
+  (map-side combinable); only ``m × ksub × dsub`` doubles reach the driver.
+- encoding: one Arrow-batched pandas UDF pass (numpy ‖x−c‖² via the
+  x²−2xCᵀ+c² expansion, one matmul per subspace per batch).
+- ADC scoring: pure Spark SQL higher-order functions over the probe's
+  lookup table (``aggregate`` of ``element_at`` gathers) — JVM-side, no
+  Python on the per-candidate path; the LUT rides the broadcast probe row
+  (``m × ksub`` doubles), never the candidate shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from locus_spark.operators.ann import (
+    cosine_expr,
+    ivf_assign,
+    kmeans_centroids,
+    probe_cluster_ids,
+)
+
+__all__ = [
+    "l2_normalized",
+    "train_codebooks",
+    "pq_encode",
+    "pq_luts",
+    "adc_score_expr",
+    "ivf_pq_topk",
+]
+
+
+def l2_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its unit-L2 form (pure SQL HOFs).  PQ here
+    serves COSINE ranking, so codes are trained on and assigned to normalized
+    vectors — dot(q, v/|v|) orders candidates by cosine, while raw dot would
+    let corpus-norm variance reorder them (measured: recall 0.44 raw vs 0.86
+    normalized at m=8, ksub=16, shortlist=50 on the sf0.001 fixture).
+    Identical inputs stay identical, so duplicate-code guarantees survive."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v
+        )
+    )
+    return df.withColumn(
+        vec_col, F.transform(vec_col, lambda v: v / norm)
+    )
+
+
+def _subvector_frame(embeddings: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into ``m`` contiguous subvectors
+    — one exploded frame so ONE distributed job per Lloyd round trains all
+    subspaces (not ``m`` sequential jobs)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("embedding"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+
+
+def _assign_codes_udf(books: np.ndarray):
+    """pandas_udf: (sub, sv) -> code = argmin_c ‖sv − books[sub, c]‖², ties
+    to the lowest code (numpy argmin first-occurrence).  ‖x−c‖² is expanded
+    to c·c − 2 x·c (x·x is constant per row — dropped), so each batch is one
+    matmul per subspace present in it."""
+    from pyspark.sql.functions import pandas_udf
+
+    sq = (books * books).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("int")
+    def assign(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        subs = sub.to_numpy()
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in sv])
+        out = np.empty(len(subs), dtype=np.int32)
+        for s in np.unique(subs):
+            rows = subs == s
+            d = sq[s][None, :] - 2.0 * (x[rows] @ books[s].T)
+            out[rows] = np.argmin(d, axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+def train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means: init from the ``ksub`` corpus
+    vectors with the smallest ``xxhash64(vec_id)`` (data-located, seedless,
+    reproducible across engines and runs), then ``iters`` distributed Lloyd
+    rounds over the single exploded subvector frame.  Returns
+    ``m × ksub × dsub`` nested lists.  Empty cells keep their previous
+    entry, so every code stays addressable."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    embeddings = l2_normalized(embeddings)
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed {ksub} codes")
+    books = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(r.embedding, dtype=np.float64)[
+                        s * dsub : (s + 1) * dsub
+                    ]
+                    for r in seed_rows
+                ]
+            )
+            for s in range(m)
+        ]
+    )  # (m, ksub, dsub)
+    sub = _subvector_frame(embeddings, m, dsub)
+    for _ in range(iters):
+        assigned = sub.select(
+            "sub", "sv", _assign_codes_udf(books)("sub", "sv").alias("code")
+        )
+        rows = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("v").alias("mean"))
+            .collect()
+        )
+        nxt = books.copy()
+        for r in rows:
+            nxt[r.sub, r.code, r.pos] = float(r.mean)
+        books = nxt
+    return books.tolist()
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``code`` (array<int>, one entry per subspace, each in
+    [0, ksub)) and DROP the vector column — the compressed serving frame.
+    Identical vectors get identical codes (argmin over identical doubles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+    sq = (books * books).sum(axis=2)
+
+    @pandas_udf("array<int>")
+    def encode(vec: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = np.argmin(sq[s][None, :] - 2.0 * (xs @ books[s].T), axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("code", encode(vec_col)).drop(vec_col)
+
+
+def pq_luts(
+    probes: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "qvec"
+) -> DataFrame:
+    """Add ``lut`` (array<double>, ``m × ksub`` flattened row-major):
+    lut[s·ksub + c] = dot(probe_sub_s, books[s][c]).  ADC's per-candidate
+    work then reduces to ``m`` gathers + adds; the table itself is computed
+    once per probe (one einsum per Arrow batch) and broadcast with it."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<double>")
+    def luts(vec: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        xs = x.reshape(len(x), m, dsub)
+        t = np.einsum("nmd,mkd->nmk", xs, books).reshape(len(x), m * ksub)
+        return pd.Series(list(t))
+
+    return probes.withColumn("lut", luts(vec_col))
+
+
+def adc_score_expr(m: int, ksub: int, code: str = "code", lut: str = "lut") -> F.Column:
+    """Asymmetric-distance (dot-product form) score: Σ_s lut[s·ksub +
+    code[s]] — a pure SQL higher-order fold (JVM-side; no Python on the
+    per-candidate path).  With ``m`` this small the interpreted lambda is
+    ~m element_at gathers per pair; a cogrouped numpy gather kernel is the
+    drop-in if profiles ever show it hot at very large ``m``."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), "
+        f"(acc, s) -> acc + element_at({lut}, s * {ksub} + element_at({code}, s + 1) + 1))"
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse k-means prunes clusters (IVF), PQ codes score the
+    survivors (ADC), full vectors are fetched ONLY for the per-probe
+    ``shortlist`` to compute exact cosines, and the final top-k ranks those
+    — output schema/tie rule identical to ``ivf_topk`` (cos desc, vec_id
+    asc).  ``shortlist`` is the quality/IO knob: >= the probed-cluster
+    candidate count disables ADC pruning entirely (then the result provably
+    equals ``ivf_topk``'s — what the planted oracle row pins); at corpus
+    scale it is set ~4-8× k so the vector fetch stays output-sized.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_centroids, dim=dim)
+    corpus = pq_encode(l2_normalized(ivf_assign(embeddings, centroids)), codebooks)
+    books = np.asarray(codebooks)
+    m, ksub = books.shape[0], books.shape[1]
+    pr = pq_luts(
+        probe_cluster_ids(probes, centroids, n_probe), codebooks, "qvec"
+    ).drop("qvec")
+    cand = (
+        F.broadcast(pr)
+        .join(corpus, "_cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+        # the candidate-volume stage carries only (qid, vec_id, score) —
+        # neither the probe vector nor the corpus vector rides it
+        .select("qid", "vec_id", adc_score_expr(m, ksub).alias("_adc"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("_adc").desc(), F.col("vec_id").asc())
+    short = (
+        cand.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    rerank = (
+        short.join(embeddings, "vec_id")
+        .join(F.broadcast(probes), "qid")
+        .select("qid", "vec_id", cosine_expr("embedding", "qvec").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return rerank.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )

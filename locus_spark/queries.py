@@ -81,6 +81,8 @@ _CHECK_FIRST = [
     "r_overlaps",
     "kd_find_box_incremental",
     "kd_knn_incremental",
+    "ann_pq_recall",
+    "ann_pq_top1_planted",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -1763,6 +1765,105 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived.register_base_tables(spark, sf_dir)
     aug = spark.sql(_EMB_AUG_SPARK)
     return embedding_near_dups(aug, threshold=EMB_LSH_THRESHOLD)
+
+
+# --- IVF-PQ: product-quantized ANN (operators/pq.py) ------------------------
+#
+# The storage/bandwidth scale path: the candidate scan reads m-byte PQ codes
+# (64× smaller than the 64-dim float64 vectors), full vectors are fetched
+# only for the per-probe shortlist re-rank.  Two value rows, same protocol
+# as the IVF/LSH family: a recall row (the measured recall itself is the
+# hash-checked artifact) and a planted full-equality row.
+
+#: trained PQ codebooks memoized per sf_dir — training is deterministic
+#: (xxhash-seeded init + fixed Lloyd rounds), same rationale as
+#: ``_IVF_CENTROIDS``.
+_PQ_BOOKS: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    from locus_spark.operators.pq import train_codebooks
+
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = train_codebooks(
+            spark.table("embeddings"), m=8, ksub=16, dim=64
+        )
+    return _PQ_BOOKS[sf_dir]
+
+
+@register("ann_pq_recall", _ann_recall_oracle(f"{_ANN_SIDE_DIR}/pq_topk_ids"))
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-distribution IVF-PQ top-k value-checked via its recall against
+    the exact brute force (approximate ids persisted as data; both engines
+    independently compute the exact side and the per-probe hit counts).
+    Exercises the full scale path: coarse prune -> ADC over codes ->
+    shortlist -> exact re-rank."""
+    from locus_spark.operators.pq import ivf_pq_topk
+
+    derived.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = _ivf_centroids(spark, sf_dir, "raw", emb)
+    books = _pq_codebooks(spark, sf_dir)
+    approx = ivf_pq_topk(
+        emb, probes, ANN_K, books, centroids=cents, n_probe=8, shortlist=50
+    )
+    exact = cosine_topk(emb, probes, ANN_K)
+    return _recall_vs_exact(spark, approx, exact, f"{_ANN_SIDE_DIR}/pq_topk_ids")
+
+
+#: identity-copy augmentation for the PQ planted row: the copy must be
+#: BIT-IDENTICAL to its original (not just exactly-scaled) so it shares the
+#: original's PQ code and IVF cluster by construction.
+_EMB_AUG1_SPARK = """
+SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings
+UNION ALL
+SELECT vec_id + 10000000 AS vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+_ANN_PQ_PLANTED_ORACLE = f"""
+WITH aug AS ({_EMB_AUG1_SPARK.replace("transform(", "list_transform(")})
+, q AS (SELECT vec_id AS qid, embedding AS qv FROM aug
+        WHERE vec_id % 20 = 0 AND vec_id < 200)
+, cand AS (
+  SELECT q.qid AS qid, a.vec_id AS vec_id, {_COS_AQ} AS cos
+  FROM aug a CROSS JOIN q
+  WHERE a.vec_id <> q.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 1
+"""
+
+
+@register("ann_pq_top1_planted", _ANN_PQ_PLANTED_ORACLE)
+def q_ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a deterministic exactness guarantee: each probe's true
+    nearest is its planted identity copy (cos(v,v) vs <= ~0.51 natural; the
+    cosine expression computes the same double in both engines).  The copy
+    shares its original's IVF cluster by construction (same vector, same
+    argmax), the probe's own cluster is always probed, and ``shortlist`` is
+    set above the probed-cluster candidate count so ADC provably never
+    prunes — the result equals exact search over the probed clusters, and
+    the planted top-1 equals the brute-force oracle in full."""
+    from locus_spark.operators.pq import ivf_pq_topk
+
+    derived.register_base_tables(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG1_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = _ivf_centroids(spark, sf_dir, "raw", spark.table("embeddings"))
+    books = _pq_codebooks(spark, sf_dir)
+    return ivf_pq_topk(
+        aug, probes, 1, books, centroids=cents, n_probe=4, shortlist=1_000_000
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,145 @@
+"""Product-quantization ANN (operators/pq.py): determinism, code validity,
+ADC-vs-numpy agreement, recall floor, planted exactness, and the plan-shape
+claim that the candidate stage never carries vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from locus_spark.operators.ann import cosine_topk, kmeans_centroids
+from locus_spark.operators.pq import (
+    adc_score_expr,
+    ivf_pq_topk,
+    pq_encode,
+    pq_luts,
+    train_codebooks,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def books(spark, emb):
+    return train_codebooks(emb, m=8, ksub=16, dim=64)
+
+
+def test_train_deterministic_and_shaped(spark, emb, books):
+    again = train_codebooks(emb, m=8, ksub=16, dim=64)
+    assert np.asarray(books).shape == (8, 16, 8)
+    assert books == again  # bit-identical floats, not just close
+
+
+def test_codes_valid_and_duplicates_share_codes(spark, emb, books):
+    dup = emb.filter("vec_id % 20 = 0").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    coded = pq_encode(emb.unionAll(dup), books)
+    rows = {r.vec_id: list(r.code) for r in coded.collect()}
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for c in rows.values())
+    for vid, code in rows.items():
+        if vid >= 10_000_000:
+            assert code == rows[vid - 10_000_000]
+    # the compressed frame must not carry the vector column
+    assert "embedding" not in coded.columns
+
+
+def test_adc_matches_numpy_lut_sum(spark, emb, books):
+    probes = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    lut = {r.qid: np.asarray(r.lut) for r in pq_luts(probes, books).collect()}
+    codes = {r.vec_id: list(r.code) for r in pq_encode(emb, books).limit(20).collect()}
+    scored = (
+        F.broadcast(pq_luts(probes, books).drop("qvec"))
+        .crossJoin(pq_encode(emb, books).limit(20))
+        .select("qid", "vec_id", adc_score_expr(8, 16).alias("adc"))
+        .collect()
+    )
+    for r in scored:
+        expect = sum(lut[r.qid][s * 16 + codes[r.vec_id][s]] for s in range(8))
+        assert r.adc == pytest.approx(expect, rel=1e-12)
+
+
+def test_ivf_pq_recall_floor(spark, emb, books):
+    k = 5
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = kmeans_centroids(emb, n_centroids=32, iters=2)
+    approx = ivf_pq_topk(emb, probes, k, books, centroids=cents, n_probe=8, shortlist=50)
+    exact = cosine_topk(emb, probes, k)
+    hits = (
+        approx.select("qid", "vec_id")
+        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+        .count()
+    )
+    recall = hits / exact.count()
+    # deterministic (seeded); measured 0.64 at these params (the IVF cluster
+    # prune, not ADC, is the bottleneck: shortlist=50 over the ~125 probed
+    # candidates loses nothing vs shortlist=inf) — floor with margin
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.3f} below floor"
+
+
+def test_big_shortlist_equals_plain_ivf(spark, emb, books):
+    """shortlist >= candidate count disables ADC pruning, so IVF-PQ must
+    return EXACTLY the plain-IVF result — the property the planted oracle
+    row's guarantee stands on, pinned here on the general distribution."""
+    from locus_spark.operators.ann import ivf_topk
+
+    k = 5
+    probes = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = kmeans_centroids(emb, n_centroids=32, iters=2)
+    pq = ivf_pq_topk(
+        emb, probes, k, books, centroids=cents, n_probe=4, shortlist=1_000_000
+    )
+    ivf = ivf_topk(emb, probes, k, centroids=cents, n_probe=4)
+    a = {(r.qid, r.vec_id, r.rn) for r in pq.collect()}
+    b = {(r.qid, r.vec_id, r.rn) for r in ivf.collect()}
+    assert a == b
+
+
+def test_planted_identity_copy_is_top1(spark, emb, books):
+    dup = emb.filter("vec_id % 20 = 0 AND vec_id < 200").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    aug = emb.unionAll(dup)
+    probes = emb.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = kmeans_centroids(emb, n_centroids=32, iters=2)
+    top1 = ivf_pq_topk(
+        aug, probes, 1, books, centroids=cents, n_probe=4, shortlist=1_000_000
+    ).collect()
+    assert len(top1) == probes.count()
+    for r in top1:
+        assert r.vec_id == r.qid + 10_000_000, (r.qid, r.vec_id)
+
+
+def test_candidate_stage_carries_no_vectors(spark, emb, books):
+    """The ADC candidate/shortlist stages must not reference the embedding
+    column — vectors enter only the final re-rank join.  Checked on the
+    analyzed plan: the window (shortlist) operator's input schema."""
+    probes = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = kmeans_centroids(emb, n_centroids=32, iters=2)
+    out = ivf_pq_topk(emb, probes, 3, books, centroids=cents)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "_arn" in ln]
+    assert win, "shortlist window missing from plan"
+    assert "qvec" not in win[0] and "embedding" not in win[0]
