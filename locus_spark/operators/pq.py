@@ -48,6 +48,7 @@ __all__ = [
     "pq_luts",
     "adc_score_expr",
     "ivf_pq_topk",
+    "ivf_pq_search",
 ]
 
 
@@ -246,6 +247,25 @@ def ivf_pq_topk(
     if centroids is None:
         centroids = kmeans_centroids(embeddings, n_centroids, dim=dim)
     corpus = pq_encode(l2_normalized(ivf_assign(embeddings, centroids)), codebooks)
+    return ivf_pq_search(
+        corpus, probes, embeddings, codebooks, centroids, k, n_probe, shortlist
+    )
+
+
+def ivf_pq_search(
+    corpus_codes: DataFrame,
+    probes: DataFrame,
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Search a PRE-ENCODED inverted file: ``corpus_codes`` is
+    (vec_id, _cid, code) — e.g. read back from a ``_cid``-partitioned
+    parquet layout (build-once / query-many) — and ``vectors`` is the
+    (vec_id, embedding) frame the shortlist re-rank fetches from."""
     books = np.asarray(codebooks)
     m, ksub = books.shape[0], books.shape[1]
     pr = pq_luts(
@@ -253,7 +273,7 @@ def ivf_pq_topk(
     ).drop("qvec")
     cand = (
         F.broadcast(pr)
-        .join(corpus, "_cid")
+        .join(corpus_codes, "_cid")
         .filter(F.col("qid") != F.col("vec_id"))
         # the candidate-volume stage carries only (qid, vec_id, score) —
         # neither the probe vector nor the corpus vector rides it
@@ -266,7 +286,7 @@ def ivf_pq_topk(
         .select("qid", "vec_id")
     )
     rerank = (
-        short.join(embeddings, "vec_id")
+        short.join(vectors, "vec_id")
         .join(F.broadcast(probes), "qid")
         .select("qid", "vec_id", cosine_expr("embedding", "qvec").alias("cos"))
     )

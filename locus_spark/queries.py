@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "kd_knn_incremental",
     "ann_pq_recall",
     "ann_pq_top1_planted",
+    "ann_pq_top1_persisted",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -1863,6 +1864,73 @@ def q_ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_codebooks(spark, sf_dir)
     return ivf_pq_topk(
         aug, probes, 1, books, centroids=cents, n_probe=4, shortlist=1_000_000
+    )
+
+
+def _persisted_pq_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Build-once PQ inverted file over the identity-copy corpus: rows are
+    (vec_id, code) ONLY — 8 small ints instead of the 64-double vector —
+    written as parquet PARTITIONED BY the IVF cluster id, with centroids and
+    codebooks in a sidecar JSON.  Query-many runs read back only the probed
+    clusters' partitions; at 100 TB the serving scan therefore touches
+    n_probe/n_centroids of a frame that is itself ~64× smaller than the
+    vectors (which stay in the base table, fetched per-shortlist-row)."""
+    import json as _json
+
+    from locus_spark.operators.ann import ivf_assign
+    from locus_spark.operators.pq import l2_normalized, pq_encode
+
+    ck = _index_checkpoint(sf_dir)
+    side = ck.root / "pq_planted" / "model.json"
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
+
+    def model() -> tuple[list[list[float]], list[list[list[float]]]]:
+        cents = _ivf_centroids(spark, sf_dir, "raw", spark.table("embeddings"))
+        books = _pq_codebooks(spark, sf_dir)
+        return cents, books
+
+    def build() -> DataFrame:
+        cents, books = model()
+        side.parent.mkdir(parents=True, exist_ok=True)
+        side.write_text(_json.dumps({"centroids": cents, "codebooks": books}))
+        aug = spark.sql(_EMB_AUG1_SPARK)
+        return pq_encode(l2_normalized(ivf_assign(aug, cents)), books)
+
+    layout = ck.run_stage(
+        spark, "pq_planted", build, fingerprint=fp, partition_by=["_cid"]
+    )
+    if not side.exists():  # resumed from a manifest written without the sidecar
+        cents, books = model()
+        side.parent.mkdir(parents=True, exist_ok=True)
+        side.write_text(_json.dumps({"centroids": cents, "codebooks": books}))
+    m = _json.loads(side.read_text())
+    return layout, m["centroids"], m["codebooks"]
+
+
+@register("ann_pq_top1_persisted", _ANN_PQ_PLANTED_ORACLE)
+def q_ann_pq_top1_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ answered from the PERSISTED code layout: probes compile their
+    n_probe cluster ids to a ``_cid IN (...)`` literal that prunes parquet
+    partitions at the scan (small-probe contract, as the IVF persisted row),
+    ADC scores the read-back codes, and the shortlist re-rank joins vectors
+    from the base corpus.  Same identity-copy full-equality oracle as the
+    from-scratch form (shortlist above the candidate count)."""
+    from locus_spark.operators.ann import probe_cluster_ids
+    from locus_spark.operators.pq import ivf_pq_search
+
+    derived.register_base_tables(spark, sf_dir)
+    layout, cents, books = _persisted_pq_layout(spark, sf_dir)
+    aug = spark.sql(_EMB_AUG1_SPARK)
+    probes = aug.filter("vec_id % 20 = 0 AND vec_id < 200").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pr = probe_cluster_ids(probes, cents, n_probe=4)
+    cids = sorted(r["_cid"] for r in pr.select("_cid").distinct().collect())
+    corpus = layout.filter(F.col("_cid").isin(cids))
+    return ivf_pq_search(
+        corpus, probes, aug, books, cents, 1, n_probe=4, shortlist=1_000_000
     )
 
 

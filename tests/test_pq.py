@@ -130,6 +130,52 @@ def test_planted_identity_copy_is_top1(spark, emb, books):
         assert r.vec_id == r.qid + 10_000_000, (r.qid, r.vec_id)
 
 
+def test_pq_layout_parity_and_partition_pruning(spark, emb, books, tmp_path):
+    """Persisted PQ inverted file (codes only, parquet partitioned by
+    cluster id): search over the read-back layout equals the from-scratch
+    IVF-PQ search, the probes' ``_cid IN (...)`` literal prunes partitions
+    at the scan, and the stored rows carry codes, not vectors."""
+    from pyspark.sql import functions as F
+
+    from locus_spark.operators.ann import ivf_assign, probe_cluster_ids
+    from locus_spark.operators.pq import ivf_pq_search, l2_normalized
+
+    cents = kmeans_centroids(emb, n_centroids=32, iters=2)
+    path = str(tmp_path / "pq")
+    pq_encode(l2_normalized(ivf_assign(emb, cents)), books).write.partitionBy(
+        "_cid"
+    ).parquet(path)
+    layout = spark.read.parquet(path)
+    assert set(layout.columns) == {"vec_id", "code", "_cid"}
+
+    probes = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pr = probe_cluster_ids(probes, cents, n_probe=4)
+    cids = sorted(r["_cid"] for r in pr.select("_cid").distinct().collect())
+    out = ivf_pq_search(
+        layout.filter(F.col("_cid").isin(cids)), probes, emb, books, cents,
+        3, n_probe=4, shortlist=50,
+    )
+    got = {(r.qid, r.rn): (r.vec_id, round(r.cos, 12)) for r in out.collect()}
+    want = {
+        (r.qid, r.rn): (r.vec_id, round(r.cos, 12))
+        for r in ivf_pq_topk(
+            emb, probes, 3, books, centroids=cents, n_probe=4, shortlist=50
+        ).collect()
+    }
+    assert got == want and len(got) == 18
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "_cid" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_candidate_stage_carries_no_vectors(spark, emb, books):
     """The ADC candidate/shortlist stages must not reference the embedding
     column — vectors enter only the final re-rank join.  Checked on the
