@@ -208,6 +208,7 @@ def main() -> None:
         # consumers (tools/bench_scaling.py, BENCH.md) can't misread it
         "timing": "warm_min_of_reps",
         "query_reps": args.query_reps,
+        "resumed_stages": sorted(ck.resumed),
         **metrics,
     }
     print(json.dumps(out))

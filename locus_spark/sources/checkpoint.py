@@ -28,6 +28,10 @@ class StageCheckpoint:
     def __init__(self, root: str) -> None:
         self.root = pathlib.Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # stages served from an existing checkpoint during this run — a
+        # structural resume signal (job reports carry it so tests don't
+        # have to infer "resumed" from throughput, which flakes under load)
+        self.resumed: list[str] = []
 
     def _paths(self, stage: str) -> tuple[pathlib.Path, pathlib.Path]:
         d = self.root / stage
@@ -58,6 +62,7 @@ class StageCheckpoint:
         Parquet and write the manifest."""
         data, mpath = self._paths(stage)
         if self.is_complete(stage, fingerprint):
+            self.resumed.append(stage)
             return spark.read.parquet(str(data))
 
         t0 = time.monotonic()

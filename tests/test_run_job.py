@@ -60,11 +60,14 @@ def test_run_job_fresh_then_resume(tmp_path):
         assert man["rows"] == 40000
         assert sum(p["rows"] for p in man["partitions"]) == man["rows"]
 
+    assert fresh["resumed_stages"] == []
+
     # resumed run: identical query answers, builds served from parquet
     resumed, _ = _run(tmp_path, fresh=False)
     for key in ("probes", "box_join_result_rows", "ball_join_result_rows",
                 "knn_result_rows"):
         assert resumed[key] == fresh[key], key
-    # a resumed "build" is a parquet read of 40k rows — orders of magnitude
-    # above a real build's throughput at this size
-    assert resumed["geocode_rows_per_s"] > 2 * fresh["geocode_rows_per_s"]
+    # structural resume signal — both build stages short-circuited to their
+    # parquet checkpoints (a throughput-ratio assertion here flaked whenever
+    # the host was under load from a concurrent job)
+    assert resumed["resumed_stages"] == ["cell_index", "geocoded"]
