@@ -61,6 +61,12 @@ def main() -> None:
                          "wall through the third repetition at the high "
                          "parallelism level (each rep there is ~4x shorter, "
                          "so C2 sees ~4x less of the hot loop per rep)")
+    ap.add_argument("--stages", default="box,ball,knn",
+                    help="comma subset of query stages to run (box,ball,knn). "
+                         "Alternate-load scaling replays (e.g. the ~1M-probe "
+                         "datapoint) pass 'knn' — box/ball walls are probe-"
+                         "capped at 8000 and do not change with probe count, "
+                         "so re-timing them there measures nothing new")
     ap.add_argument("--parts", type=int, default=128,
                     help="shuffle partitions (data-sized; identical at every "
                          "parallelism level so the levels run one plan)")
@@ -178,24 +184,32 @@ def main() -> None:
     probes_small = probes.filter(
         F.pmod(F.xxhash64(F.col("qid"), F.lit(7)), F.lit(max(1, n_probes // 8000))) == 0
     )
-    qboxes = probes_small.select(
-        F.col("qid"),
-        (F.col("x") - 2.0).alias("min_x"), (F.col("x") + 2.0).alias("max_x"),
-        (F.col("y") - 1.0).alias("min_y"), (F.col("y") + 1.0).alias("max_y"),
-    )
-    n_box, dt = timed(lambda: find_box_join(points, qboxes, grid=grid))
-    metrics["box_join_result_rows"] = n_box
-    metrics["box_join_rows_per_s"] = round(n_geo / dt, 1)
+    stages = {s.strip() for s in args.stages.split(",") if s.strip()}
+    unknown = stages - {"box", "ball", "knn"}
+    if unknown:
+        raise SystemExit(f"unknown --stages entries: {sorted(unknown)}")
 
-    qcircles = probes_small.select("qid", "x", "y", F.lit(1.5).alias("r"))
-    n_ball, dt = timed(lambda: find_ball_join(points, qcircles, grid=grid))
-    metrics["ball_join_result_rows"] = n_ball
-    metrics["ball_join_rows_per_s"] = round(n_geo / dt, 1)
+    if "box" in stages:
+        qboxes = probes_small.select(
+            F.col("qid"),
+            (F.col("x") - 2.0).alias("min_x"), (F.col("x") + 2.0).alias("max_x"),
+            (F.col("y") - 1.0).alias("min_y"), (F.col("y") + 1.0).alias("max_y"),
+        )
+        n_box, dt = timed(lambda: find_box_join(points, qboxes, grid=grid))
+        metrics["box_join_result_rows"] = n_box
+        metrics["box_join_rows_per_s"] = round(n_geo / dt, 1)
 
-    n_knn, dt = timed(lambda: knn_join(points, probes, args.k, grid=grid))
-    metrics["knn_result_rows"] = n_knn
-    metrics["knn_probes_per_s"] = round(n_probes / dt, 1)
-    metrics["knn_rows_per_s"] = round(n_geo / dt, 1)
+    if "ball" in stages:
+        qcircles = probes_small.select("qid", "x", "y", F.lit(1.5).alias("r"))
+        n_ball, dt = timed(lambda: find_ball_join(points, qcircles, grid=grid))
+        metrics["ball_join_result_rows"] = n_ball
+        metrics["ball_join_rows_per_s"] = round(n_geo / dt, 1)
+
+    if "knn" in stages:
+        n_knn, dt = timed(lambda: knn_join(points, probes, args.k, grid=grid))
+        metrics["knn_result_rows"] = n_knn
+        metrics["knn_probes_per_s"] = round(n_probes / dt, 1)
+        metrics["knn_rows_per_s"] = round(n_geo / dt, 1)
 
     out = {
         "job": "pages_pipeline",

@@ -33,10 +33,17 @@ import subprocess
 import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-QUERY_METRICS = ["box_join_rows_per_s", "ball_join_rows_per_s", "knn_rows_per_s"]
+STAGE_METRICS = {
+    "box": "box_join_rows_per_s",
+    "ball": "ball_join_rows_per_s",
+    "knn": "knn_rows_per_s",
+}
 
 
-def replay_level(rows: int, probes: int, cores: int, query_reps: int = 4) -> dict:
+def replay_level(
+    rows: int, probes: int, cores: int, query_reps: int = 4,
+    stages: str = "box,ball,knn",
+) -> dict:
     ck = pathlib.Path(f"/tmp/locus_scaling_ck_{cores}/r{rows}_c{cores}")
     if not ck.is_dir():
         raise SystemExit(
@@ -62,6 +69,7 @@ def replay_level(rows: int, probes: int, cores: int, query_reps: int = 4) -> dic
         # are ~10x longer, so each rep already gives the JIT the hot-loop
         # exposure four short reps give the flagship load.
         "--query-reps", str(query_reps),
+        "--stages", stages,
     ]
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -86,9 +94,15 @@ def replay_level(rows: int, probes: int, cores: int, query_reps: int = 4) -> dic
     return report
 
 
-def best_of(rows: int, probes: int, cores: int, reps: int, query_reps: int) -> dict:
-    runs = [replay_level(rows, probes, cores, query_reps) for _ in range(reps)]
-    return {m: max(r[m] for r in runs) for m in QUERY_METRICS}
+def best_of(
+    rows: int, probes: int, cores: int, reps: int, query_reps: int,
+    stages: str, metrics: list[str],
+) -> dict:
+    runs = [
+        replay_level(rows, probes, cores, query_reps, stages)
+        for _ in range(reps)
+    ]
+    return {m: max(r[m] for r in runs) for m in metrics}
 
 
 def main() -> None:
@@ -111,12 +125,22 @@ def main() -> None:
         "'probescaling' for an alternate (rows, probes) datapoint so the "
         "flagship block is not clobbered",
     )
+    ap.add_argument(
+        "--stages", default="box,ball,knn",
+        help="comma subset of query stages to replay (passed through to "
+        "jobs/run.py); alternate-load datapoints pass 'knn' so probe-capped "
+        "box/ball walls are not re-paid",
+    )
     args = ap.parse_args()
     factor = args.high / args.low
+    stage_list = [s.strip() for s in args.stages.split(",") if s.strip()]
+    metrics = [STAGE_METRICS[s] for s in stage_list]
 
-    lo = best_of(args.rows, args.probes, args.low, args.reps, args.query_reps)
-    hi = best_of(args.rows, args.probes, args.high, args.reps, args.query_reps)
-    eff = {m: round(hi[m] / (factor * lo[m]), 3) for m in QUERY_METRICS}
+    lo = best_of(args.rows, args.probes, args.low, args.reps,
+                 args.query_reps, args.stages, metrics)
+    hi = best_of(args.rows, args.probes, args.high, args.reps,
+                 args.query_reps, args.stages, metrics)
+    eff = {m: round(hi[m] / (factor * lo[m]), 3) for m in metrics}
     report = {
         "metric": "query_stage_scaling_replay",
         "rows": args.rows,
@@ -126,9 +150,11 @@ def main() -> None:
         "throughput_low": lo,
         "throughput_high": hi,
         "efficiency": eff,
-        "flagship_knn_efficiency": eff["knn_rows_per_s"],
         "reps_per_level": args.reps,
+        "stages": stage_list,
     }
+    if "knn_rows_per_s" in eff:
+        report["flagship_knn_efficiency"] = eff["knn_rows_per_s"]
     print(json.dumps(report))
 
     lines = [
@@ -150,17 +176,21 @@ def main() -> None:
         f"local[{args.high}] | efficiency (tput_4N / {factor:g}·tput_N) |",
         "|---|---|---|---|",
     ]
-    for m in QUERY_METRICS:
+    for m in metrics:
         lines.append(f"| {m} | {lo[m]:,.0f} | {hi[m]:,.0f} | **{eff[m]:.3f}** |")
+    lines.append("")
+    if "knn_rows_per_s" in eff:
+        lines += [
+            f"Flagship (kNN join) warm-replay efficiency: "
+            f"**{eff['knn_rows_per_s']}** (target >= 0.8).",
+            "",
+        ]
     lines += [
-        "",
-        f"Flagship (kNN join) warm-replay efficiency: "
-        f"**{eff['knn_rows_per_s']}** (target >= 0.8).",
-        "",
         "Reproduce: `python tools/bench_query_replay.py"
         f" --rows {args.rows} --probes {args.probes}"
         f" --low {args.low} --high {args.high} --reps {args.reps}"
-        f" --query-reps {args.query_reps} --marker {args.marker}`"
+        f" --query-reps {args.query_reps} --stages {args.stages}"
+        f" --marker {args.marker}`"
         " (after a bench_scaling.py run has built the checkpoints).",
     ]
     block = "\n".join(lines)
