@@ -84,6 +84,7 @@ _CHECK_FIRST = [
     "ann_pq_recall",
     "ann_pq_top1_planted",
     "ann_pq_top1_persisted",
+    "doc_join_bucketed",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2283,4 +2284,76 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
     ).agg(
         F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# ===========================================================================
+# bucketed co-located join — write-once pre-shuffle for repeated equi-joins
+# ===========================================================================
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT d.lang AS lang, e.label AS label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang, e.label
+"""
+
+
+def _bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """documents/embeddings rewritten ONCE as bucketed external tables
+    (8 buckets on the join key, sorted within buckets); rebuilt only when
+    the input parquet fingerprint changes or the session's catalog lost the
+    table definitions (the in-memory catalog does not survive restarts —
+    the data files do, but bucket metadata lives in the catalog, so a
+    path-level parquet read of the same files would NOT be bucketed)."""
+    import json
+    import pathlib
+    import tempfile
+
+    from locus_spark.sources.bucketed import write_bucketed
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    root = pathlib.Path(tempfile.gettempdir()) / "locus_spark_bucketed" / tag
+    docs_t, embs_t = f"locus_docs_b_{tag}", f"locus_embs_b_{tag}"
+    fp = _parquet_fingerprint(sf_dir, "documents", "embeddings")
+    man = root / "manifest.json"
+    if (
+        spark.catalog.tableExists(docs_t)
+        and spark.catalog.tableExists(embs_t)
+        and man.exists()
+        and json.loads(man.read_text()).get("fingerprint") == fp
+    ):
+        return docs_t, embs_t
+    derived.register_base_tables(spark, sf_dir)
+    write_bucketed(
+        spark.table("documents"), docs_t, str(root / "documents"),
+        bucket_cols=["doc_id"], num_buckets=8, sort_cols=["doc_id"],
+    )
+    write_bucketed(
+        spark.table("embeddings"), embs_t, str(root / "embeddings"),
+        bucket_cols=["vec_id"], num_buckets=8, sort_cols=["vec_id"],
+    )
+    root.mkdir(parents=True, exist_ok=True)
+    man.write_text(json.dumps({"fingerprint": fp}))
+    return docs_t, embs_t
+
+
+@register("doc_join_bucketed", _BUCKETED_JOIN_ORACLE)
+def q_doc_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, label) rollup over a documents-embeddings equi-join served
+    from bucketed layouts: both tables were pre-shuffled ONCE at write time
+    (``bucketBy`` on the join key, same bucket count), so the join plans
+    with NO Exchange on either side — each task reads bucket *i* of both
+    tables and joins locally.  At 100 TB this converts every repeated join
+    in a curation pipeline from a full corpus shuffle into a co-located
+    read (the no-Exchange plan shape is pinned in
+    tests/test_bucketed_join.py)."""
+    from locus_spark.sources.bucketed import colocated_join
+
+    docs_t, embs_t = _bucketed_doc_tables(spark, sf_dir)
+    joined = colocated_join(spark, docs_t, embs_t, on=[("doc_id", "vec_id")])
+    return joined.groupBy("lang", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
     )
