@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_len_quantiles",
     "doc_pack_sequences",
     "pipeline_training_mix",
+    "doc_join_bucketed",
     "ann_cosine_topk",
     "ann_ivf_recall",
     "ann_ivf_top1_persisted",
