@@ -68,6 +68,7 @@ HEADLINE = [
     "seg_knn_persisted",
     "events_hourly",
     "events_dedup_replayed",
+    "events_attribution",
     "media_frame_sample",
     "pages_geotile_lang",
     "pages_host_stats",

@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "ann_pq_top1_planted",
     "ann_pq_top1_persisted",
     "doc_join_bucketed",
+    "events_attribution",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2357,3 +2358,26 @@ def q_doc_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@register("events_attribution", _ATTRIBUTION_ORACLE)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution (same user, click within 30 min of the view,
+    inclusive) — the batch form of the watermarked stream-stream join in
+    locus_spark/streaming/joins.py (state bounded by watermark + gap;
+    multi-batch replay + eviction pytest in tests/test_streaming_joins.py)."""
+    from locus_spark.streaming.joins import attribute_clicks_batch
+
+    derived.register_base_tables(spark, sf_dir)
+    return attribute_clicks_batch(spark.table("events"), gap_s=1800)
