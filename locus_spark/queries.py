@@ -107,6 +107,9 @@ _CHECK_LAST = [
     "seg_knn_to_point",
     "tile_point_counts",
     "pip_polygons",
+    # green in both r2 and r3:
+    "media_features",
+    "media_frame_sample",
 ]
 
 
