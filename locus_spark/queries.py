@@ -86,6 +86,9 @@ _CHECK_FIRST = [
     "ann_pq_top1_persisted",
     "doc_join_bucketed",
     "events_attribution",
+    "doc_distinct_hll",
+    "doc_quantile_sketch",
+    "doc_heavy_hitters",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -110,6 +113,9 @@ _CHECK_LAST = [
     # green in both r2 and r3:
     "media_features",
     "media_frame_sample",
+    "doc_fingerprint",
+    "doc_token_stats",
+    "raster_vector",
 ]
 
 
@@ -2384,3 +2390,92 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     derived.register_base_tables(spark, sf_dir)
     return attribute_clicks_batch(spark.table("events"), gap_s=1800)
+
+
+# ===========================================================================
+# sketch aggregations (operators/sketches.py): HLL distinct, GK quantile
+# summaries, frequent items — the tolerance-oracle protocol of the ANN
+# recall rows (exact statistic + deterministic in-bound boolean), except
+# heavy hitters, whose output is exact and oracled as plain SQL.
+# ===========================================================================
+
+_HLL_ORACLE = """
+SELECT lang, CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+       true AS hll_ok
+FROM documents GROUP BY lang
+"""
+
+
+@register("doc_distinct_hll", _HLL_ORACLE)
+def q_doc_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-document count: exact count_distinct (the
+    oracle-checked value) beside an HLL++ sketch asserted to land within
+    4x its relative standard deviation (operators/sketches.py — at 100 TB
+    only the constant-size sketch ships; the exact column judges it)."""
+    from locus_spark.operators.sketches import hll_distinct_check
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "lang", F.md5("text").alias("fp")
+    )
+    return hll_distinct_check(docs, "lang", "fp")
+
+
+_QSKETCH_ORACLE = """
+WITH counts AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM counts
+), ps AS (SELECT unnest([0.25e0, 0.5e0, 0.9e0, 0.99e0]) AS p)
+SELECT lang, p,
+       CAST(min(CASE WHEN cum >= ceil(p * n) THEN n_chars END) AS BIGINT)
+         AS exact_q,
+       true AS rank_ok
+FROM cum CROSS JOIN ps GROUP BY lang, p
+"""
+
+
+@register("doc_quantile_sketch", _QSKETCH_ORACLE)
+def q_doc_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, p) exact discrete n_chars quantile beside a
+    percentile_approx (Greenwald-Khanna) sketch whose value's TRUE rank is
+    asserted within the published 1/accuracy rank-error bound — an exact
+    integer test via the same value histogram (operators/sketches.py),
+    deterministic under any partition merge order."""
+    from locus_spark.operators.sketches import quantile_sketch_check
+    from locus_spark.operators.textops import QUANTILE_PS
+
+    derived.register_base_tables(spark, sf_dir)
+    out = quantile_sketch_check(
+        spark.table("documents"), "lang", "n_chars", QUANTILE_PS
+    )
+    return out.withColumn("exact_q", F.col("exact_q").cast("long"))
+
+
+from locus_spark.operators.sketches import HH_SUPPORT  # noqa: E402
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN tot
+GROUP BY tok, n
+HAVING count(*) >= ceil({HH_SUPPORT} * n)
+"""
+
+
+@register("doc_heavy_hitters", _HH_ORACLE)
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens at >= 1% of all occurrences):
+    Arrow-batched per-batch candidate pruning (pigeonhole superset) + an
+    exact map-side-filtered count of candidates only — the shuffle never
+    carries the full token stream (operators/sketches.py:heavy_hitters)."""
+    from locus_spark.operators.sketches import heavy_hitters
+
+    derived.register_base_tables(spark, sf_dir)
+    return heavy_hitters(spark.table("documents"))
