@@ -89,6 +89,9 @@ _CHECK_FIRST = [
     "doc_distinct_hll",
     "doc_quantile_sketch",
     "doc_heavy_hitters",
+    "doc_search_and",
+    "doc_search_persisted",
+    "events_asof_view",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -116,6 +119,9 @@ _CHECK_LAST = [
     "doc_fingerprint",
     "doc_token_stats",
     "raster_vector",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_quality",
 ]
 
 
@@ -2479,3 +2485,120 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     derived.register_base_tables(spark, sf_dir)
     return heavy_hitters(spark.table("documents"))
+
+
+# ===========================================================================
+# inverted text index (operators/invindex.py) and as-of join
+# (operators/asof.py) — webtext search/serving surface
+# ===========================================================================
+
+#: fixed conjunctive query for the driver rows — three common corpus tokens
+SEARCH_TERMS = ("scan", "merge", "data")
+
+_SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('scan', 'merge', 'data')
+  GROUP BY doc_id, tok
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
+FROM tf GROUP BY doc_id HAVING count(*) = 3
+"""
+
+
+@register("doc_search_and", _SEARCH_ORACLE)
+def q_doc_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search over inverted posting rows: filter to
+    the query terms (pushdown), one map-side-combined aggregation checks
+    all-terms membership — the shuffle carries query-term postings only
+    (operators/invindex.py)."""
+    from locus_spark.operators.invindex import build_postings, search_and
+
+    derived.register_base_tables(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return search_and(postings, SEARCH_TERMS)
+
+
+def _persisted_posting_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once posting layout partitioned by token hash bucket ``_pb``
+    (64 dirs): term queries prune to |terms| directories — the text-index
+    twin of the IVF cluster-partitioned inverted file."""
+    from locus_spark.operators.invindex import _bucket, build_postings
+
+    def build() -> DataFrame:
+        return build_postings(spark.table("documents")).withColumn(
+            "_pb", _bucket(F.col("tok"))
+        ).repartition("_pb")
+
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "postings_bucketed",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "documents"),
+        partition_by=["_pb"],
+    )
+
+
+@register("doc_search_persisted", _SEARCH_ORACLE)
+def q_doc_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same conjunctive search served from the persisted bucket-partitioned
+    posting layout — `_pb IN` is directory-level pruning, `tok IN` a pushed
+    row-group predicate inside the surviving directories (pruning pinned in
+    tests/test_invindex.py)."""
+    from locus_spark.operators.invindex import search_persisted
+
+    derived.register_base_tables(spark, sf_dir)
+    layout = _persisted_posting_layout(spark, sf_dir)
+    return search_persisted(spark, layout, SEARCH_TERMS)
+
+
+_ASOF_ORACLE = """
+WITH pairs AS (
+  SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+         v.event_id AS view_id, v.ts AS view_ts,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM events c JOIN events v
+    ON v.user_id = c.user_id AND v.ts <= c.ts
+  WHERE c.event_type = 'click' AND v.event_type = 'view'
+)
+SELECT click_id, user_id, click_ts, view_id, view_ts FROM pairs WHERE rn = 1
+"""
+
+
+@register("events_asof_view", _ASOF_ORACLE)
+def q_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's LATEST view at or
+    before it (ties on equal ts broken by highest event_id).  Union-tag
+    merge + one per-key forward-fill window — |L|+|R| rows through one
+    shuffle, no pair blowup (operators/asof.py; the DuckDB oracle is the
+    independent pair-join/row_number formulation of the same semantics)."""
+    from locus_spark.operators.asof import asof_join
+
+    derived.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        payload_cols=("view_id", "view_ts"),
+        tiebreak="event_id",
+    )

@@ -1,0 +1,123 @@
+"""Inverted-index search (operators/invindex.py) and as-of join
+(operators/asof.py): brute-force parity, bucket partition pruning, and the
+tie/no-match edges of the forward-fill merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from locus_spark.operators.asof import asof_join
+from locus_spark.operators.invindex import (
+    POSTING_BUCKETS,
+    build_postings,
+    prune_to_term_buckets,
+    search_and,
+    write_posting_layout,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "red green blue"),
+        (2, "red red green"),
+        (3, "green blue"),
+        (4, "red blue red green"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_search_and_matches_bruteforce(spark):
+    docs = _docs(spark)
+    out = search_and(build_postings(docs), ("red", "green"))
+    got = {r["doc_id"]: r["sum_tf"] for r in out.collect()}
+    # doc 1: 1+1, doc 2: 2+1, doc 4: 2+1; doc 3 lacks 'red'
+    assert got == {1: 2, 2: 3, 4: 3}
+
+
+def test_persisted_layout_prunes_to_term_buckets(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "postings")
+    write_posting_layout(build_postings(docs), path)
+    layout = spark.read.parquet(path)
+    terms = ("red", "green")
+    pruned = prune_to_term_buckets(spark, layout, terms)
+
+    # answers identical to the from-scratch search
+    a = {r["doc_id"]: r["sum_tf"] for r in search_and(pruned, terms).collect()}
+    b = {
+        r["doc_id"]: r["sum_tf"]
+        for r in search_and(build_postings(docs), terms).collect()
+    }
+    assert a == b and a
+
+    # the _pb filter must be a PLANNING-time partition filter, and the
+    # pruned scan must touch at most |terms| of POSTING_BUCKETS directories
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_pb" in plan.split("PartitionFilters")[1][:200]
+    n_dirs = sum(1 for p in (tmp_path / "postings").iterdir() if p.name.startswith("_pb="))
+    assert n_dirs > len(terms)  # layout has more buckets than the query reads
+    assert pruned.select("_pb").distinct().count() <= len(terms)
+    assert POSTING_BUCKETS == 64
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 12, m)
+
+
+def test_asof_join_latest_at_or_before_with_ties(spark):
+    left = spark.createDataFrame(
+        [(100, 7, _ts(10)), (101, 7, _ts(3)), (102, 8, _ts(5)), (103, 9, _ts(1))],
+        "lid long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 7, _ts(2)),
+            (2, 7, _ts(10)),   # equal to left ts -> inclusive match
+            (3, 7, _ts(10)),   # tie on ts -> highest tiebreak (rid 3) wins
+            (4, 8, _ts(6)),    # after the only left row of key 8 -> no match
+        ],
+        "rid long, k long, rt timestamp",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt",
+        payload_cols=("rid", "rt"), tiebreak="rid",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    # lid 100: ties at 12:10 -> rid 3; lid 101: only 12:02 before it -> rid 1
+    # lid 102: right row is after -> dropped; lid 103: key 9 has no rights
+    assert got == {100: 3, 101: 1}
+
+
+def test_asof_join_is_single_pass_no_pair_join(spark):
+    left = spark.range(0, 50).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60 + 1_700_000_000).alias("lt"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 45 + 1_700_000_000).alias("rt"),
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt",
+        payload_cols=("rid",), tiebreak="rid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join operator
+
+    # parity vs the quadratic pair-join formulation
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), (F.col("l.k") == F.col("r.k")) & (F.col("r.rt") <= F.col("l.lt")))
+        .groupBy("l.lid")
+        .agg(F.max(F.struct("r.rt", "r.rid")).alias("m"))
+        .select("lid", F.col("m.rid").alias("rid"))
+    )
+    assert {(r["lid"], r["rid"]) for r in out.collect()} == {
+        (r["lid"], r["rid"]) for r in naive.collect()
+    }
