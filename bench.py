@@ -73,6 +73,9 @@ HEADLINE = [
     "pages_geotile_lang",
     "pages_host_stats",
     "pages_knn",
+    "doc_heavy_hitters",
+    "doc_search_persisted",
+    "events_asof_view",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family
@@ -118,6 +121,7 @@ BUILDS = [
     ("segments_layout", lambda s, d: q._persisted_segments_layout(s, d)),
     ("geocoded_pages", lambda s, d: q._persisted_geocoded_pages(s)),
     ("ivf_layout", lambda s, d: q._persisted_ivf_layout(s, d)[0]),
+    ("postings_layout", lambda s, d: q._persisted_posting_layout(s, d)),
 ]
 
 

@@ -92,6 +92,7 @@ _CHECK_FIRST = [
     "doc_search_and",
     "doc_search_persisted",
     "events_asof_view",
+    "doc_jsonl_ingest",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -122,6 +123,7 @@ _CHECK_LAST = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "doc_quality",
+    "doc_lang_id",
 ]
 
 
@@ -2602,3 +2604,39 @@ def q_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=("view_id", "view_ts"),
         tiebreak="event_id",
     )
+
+
+# ===========================================================================
+# JSONL ingestion (sources/jsonl.py) — full-row parity through the JSON
+# round trip proves the source path is lossless (explicit schema, no
+# inference pass; PERMISSIVE corrupt capture pinned in tests)
+# ===========================================================================
+
+_JSONL_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register("doc_jsonl_ingest", _JSONL_ORACLE)
+def q_doc_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ingested from a JSONL twin of the parquet table (written
+    once per sf, fingerprint-keyed): explicit-schema PERMISSIVE read —
+    byte parity of every column, including newline/quote-bearing text,
+    against the parquet source (sources/jsonl.py)."""
+    import json as _json
+
+    from locus_spark.sources.jsonl import (
+        documents_parquet_to_jsonl,
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    ck = _index_checkpoint(sf_dir)
+    jdir = ck.root / "documents_jsonl"
+    man = jdir / "manifest.json"
+    fp = _parquet_fingerprint(sf_dir, "documents")
+    if not (man.exists() and _json.loads(man.read_text()).get("fingerprint") == fp):
+        documents_parquet_to_jsonl(spark, sf_dir, str(jdir / "data"))
+        man.write_text(_json.dumps({"fingerprint": fp}))
+    clean, _corrupt = split_corrupt(read_documents_jsonl(spark, str(jdir / "data")))
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
