@@ -93,6 +93,8 @@ _CHECK_FIRST = [
     "doc_search_persisted",
     "events_asof_view",
     "doc_jsonl_ingest",
+    "doc_rollup_lang_source",
+    "doc_set_ops",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -124,6 +126,8 @@ _CHECK_LAST = [
     "dedup_minhash_lsh",
     "doc_quality",
     "doc_lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
 ]
 
 
@@ -2640,3 +2644,69 @@ def q_doc_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         man.write_text(_json.dumps({"fingerprint": fp}))
     clean, _corrupt = split_corrupt(read_documents_jsonl(spark, str(jdir / "data")))
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# ===========================================================================
+# relational-surface coverage: multi-level rollup (grouping sets) and set
+# operations as first-class oracled queries (SURVEY §2.6 presence map)
+# ===========================================================================
+
+_ROLLUP_ORACLE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+@register("doc_rollup_lang_source", _ROLLUP_ORACLE)
+def q_doc_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in ONE pass: per-(lang, source), per-lang and
+    grand-total rows via ``rollup`` — Spark's Expand operator computes all
+    grouping sets map-side before a single shuffle, vs three separate
+    aggregation jobs (each a full scan) at 100 TB."""
+    derived.register_base_tables(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_SETOPS_ORACLE = """
+WITH lang_docs AS (
+  SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'de')
+), long_docs AS (
+  SELECT doc_id FROM documents WHERE n_chars >= 300
+)
+SELECT 'en_long' AS part, doc_id FROM (
+  SELECT doc_id FROM lang_docs WHERE lang = 'en'
+  INTERSECT SELECT doc_id FROM long_docs
+)
+UNION ALL
+SELECT 'de_short' AS part, doc_id FROM (
+  SELECT doc_id FROM lang_docs WHERE lang = 'de'
+  EXCEPT SELECT doc_id FROM long_docs
+)
+"""
+
+
+@register("doc_set_ops", _SETOPS_ORACLE)
+def q_doc_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations as corpus partitioning: English docs that are long
+    (INTERSECT) and German docs that are not (EXCEPT), tagged and unioned.
+    Both set ops plan as hash joins on doc_id — at scale the same shape as
+    the semi/anti joins the curation pipeline uses."""
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    de = docs.filter(F.col("lang") == "de").select("doc_id")
+    long_docs = docs.filter(F.col("n_chars") >= 300).select("doc_id")
+    return en.intersect(long_docs).select(
+        F.lit("en_long").alias("part"), "doc_id"
+    ).unionAll(
+        de.exceptAll(long_docs).select(F.lit("de_short").alias("part"), "doc_id")
+    )
