@@ -28,7 +28,6 @@ build mandate asks for beyond reference parity.
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import pandas as pd
@@ -41,7 +40,7 @@ from pyspark.sql import functions as F
 HLL_RSD = 0.05
 
 #: 1/accuracy is the guaranteed RANK error fraction of percentile_approx
-#: (Greenwald-Khnna summaries; the bound holds under any partition merge
+#: (Greenwald-Khanna summaries; the bound holds under any partition merge
 #: order, which is what makes the check deterministic under AQE).
 GK_ACCURACY = 10_000
 
