@@ -76,6 +76,8 @@ HEADLINE = [
     "doc_heavy_hitters",
     "doc_search_persisted",
     "events_asof_view",
+    "dedup_incremental",
+    "doc_span_dedup",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family

@@ -633,3 +633,117 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame, batch: DataFrame, broadcast_batch: bool = True
+) -> DataFrame:
+    """Cross-snapshot dedup: keep the new-batch documents whose content is
+    not already in the corpus (nor earlier in the batch itself).
+
+    The recurring web-crawl shape: a new snapshot (``batch``) lands next to
+    an existing multi-snapshot corpus orders of magnitude larger, and only
+    genuinely new content should enter the training mix.  Returns one row
+    per kept distinct batch text: ``(doc_id, fp, n_batch_dups)`` where
+    ``doc_id`` is the smallest id carrying that text in the batch and
+    ``n_batch_dups`` counts its within-batch copies.
+
+    Scale shape (100 TB corpus, ~1% snapshot):
+
+    * The corpus side is ONLY ever a column-pruned scan of ``text``
+      projected to a 32-hex md5 — never shuffled, never broadcast: the
+      membership probe broadcasts the much smaller BATCH fingerprint set
+      and streams the corpus map-side through a ``left_semi`` that emits
+      at most |batch| distinct fingerprints (the already-seen set).
+    * The batch then drops the already-seen set with an anti-join against
+      that tiny result.  Within-batch dedup is one map-side-combined
+      groupBy on the fingerprint.
+    * ``broadcast_batch=False`` falls back to a plain shuffle ``left_semi``
+      on ``fp`` for snapshot sizes beyond broadcast reach (both sides hash
+      16-byte keys; still no text ever rides a shuffle).
+    """
+    batch_fp = batch.select(F.md5("text").alias("fp"), "doc_id")
+    kept = batch_fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_batch_dups")
+    )
+    batch_keys = kept.select("fp")
+    if broadcast_batch:
+        batch_keys = F.broadcast(batch_keys)
+    seen = (
+        corpus.select(F.md5("text").alias("fp"))
+        .join(batch_keys, "fp", "left_semi")
+        .distinct()
+    )
+    if broadcast_batch:
+        # |seen| <= |batch fingerprints|, which the probe above already
+        # judged broadcastable — so the drop is map-side too, and the whole
+        # operator shuffles nothing but the batch's own groupBy
+        seen = F.broadcast(seen)
+    return kept.join(seen, "fp", "left_anti").select(
+        "doc_id", "fp", "n_batch_dups"
+    )
+
+
+#: token width of the repeated-span probe.  Real pipelines (Lee et al.,
+#: "Deduplicating Training Data Makes Language Models Better", ACL'22) use
+#: 50-token spans over BPE ids; the synthetic fixture's documents are tens
+#: of tokens from a small vocabulary, so 8 keeps the cross-document match
+#: rate in the regime a 50-gram has against web text.
+SPAN_W = 8
+
+
+def span_dup_stats(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Repeated-substring statistics: for each document, how much of it is
+    covered by ``w``-token spans that also appear in ANOTHER document.
+
+    The distributed stand-in for suffix-array substring dedup (Lee et al.
+    ACL'22): a suffix array does not shard, so the standard Spark answer is
+    fixed-width span fingerprinting — every ``w``-token window is hashed,
+    windows seen in >= 2 distinct documents are "duplicated", and each
+    document reports ``(doc_id, n_spans, n_dup_spans, dup_frac)`` over its
+    window positions.  Downstream policy (drop the doc, or cut the spans)
+    filters on ``dup_frac``; documents shorter than ``w`` tokens carry no
+    span and are absent (mirrored by the oracle).
+
+    Scale shape: raw span rows are immediately reduced to per-(doc, span)
+    counts (one map-side-combined shuffle keyed on the pair), span document
+    frequencies aggregate those counts (second combine on the span hash,
+    carrying one row per distinct (doc, span), never raw positions), and the
+    flag rides back on an equi-join of those two aggregated frames — no
+    all-pairs stage, nothing keyed by document alone until the final
+    per-doc rollup.  Span text never leaves the first projection: joins and
+    aggregations carry the 32-hex md5 only.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("ts"),
+    ).filter(F.size("ts") >= w)
+    joined = " || ' ' || ".join(
+        f"element_at(ts, CAST(i + {j} AS INT))" for j in range(w)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, size(ts) - {w - 1}), i -> md5({joined}))")
+        ).alias("sp"),
+    )
+    per_doc_span = spans.groupBy("doc_id", "sp").agg(F.count("*").alias("_c"))
+    span_docs = per_doc_span.groupBy("sp").agg(F.count("*").alias("_nd"))
+    return (
+        per_doc_span.join(span_docs, "sp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_spans"),
+            F.sum(F.when(F.col("_nd") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+    )

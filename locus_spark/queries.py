@@ -95,6 +95,8 @@ _CHECK_FIRST = [
     "doc_jsonl_ingest",
     "doc_rollup_lang_source",
     "doc_set_ops",
+    "dedup_incremental",
+    "doc_span_dedup",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -766,6 +768,77 @@ GROUP BY md5(text)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived.register_base_tables(spark, sf_dir)
     return exact_dedup(spark.table("documents"))
+
+
+# Cross-snapshot incremental dedup: the documents table split 80/20 into an
+# existing corpus (doc_id % 5 != 0) and a new snapshot batch (doc_id % 5 = 0)
+# — the recurring crawl shape where only content absent from every earlier
+# snapshot may enter the batch.  Exact-duplicate texts in the synthetic
+# fixture straddle the split, so both drop reasons (seen-in-corpus,
+# seen-earlier-in-batch) are exercised.
+_DEDUP_INCR_ORACLE = """
+WITH corpus AS (
+  SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+), kept AS (
+  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_batch_dups
+  FROM batch GROUP BY fp
+)
+SELECT k.doc_id AS doc_id, k.fp AS fp, k.n_batch_dups AS n_batch_dups
+FROM kept k
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = k.fp)
+"""
+
+
+@register("dedup_incremental", _DEDUP_INCR_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locus_spark.operators.dedup import incremental_exact_dedup
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_exact_dedup(corpus, batch)
+
+
+# Repeated-span statistics (ExactSubstr stand-in, Lee et al. ACL'22): per
+# document, the fraction of its 8-token windows whose text also appears in
+# at least one OTHER document.  Same tokenization contract as every shingle
+# oracle (single-space split, empties dropped, 1-indexed lists); sums are
+# cast back to BIGINT because DuckDB widens SUM(BIGINT) to HUGEINT.
+_SPAN_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+         md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+             || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+             || ' ' || ts[i+7]) AS sp
+  FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+  WHERE len(ts) >= 8
+), pds AS (
+  SELECT doc_id, sp, count(*) AS c FROM sp GROUP BY doc_id, sp
+), sd AS (
+  SELECT sp, count(*) AS nd FROM pds GROUP BY sp
+)
+SELECT p.doc_id AS doc_id,
+       CAST(sum(p.c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN s.nd > 1 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       sum(CASE WHEN s.nd > 1 THEN p.c ELSE 0 END)
+         / CAST(sum(p.c) AS DOUBLE) AS dup_frac
+FROM pds p JOIN sd s ON s.sp = p.sp
+GROUP BY p.doc_id
+"""
+
+
+@register("doc_span_dedup", _SPAN_DEDUP_ORACLE)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locus_spark.operators.dedup import span_dup_stats
+
+    derived.register_base_tables(spark, sf_dir)
+    return span_dup_stats(spark.table("documents"))
 
 
 _MINHASH_ORACLE = """
