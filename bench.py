@@ -78,6 +78,7 @@ HEADLINE = [
     "events_asof_view",
     "dedup_incremental",
     "doc_span_dedup",
+    "dedup_incremental_minhash",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family

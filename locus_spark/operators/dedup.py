@@ -61,6 +61,48 @@ def _doc_shingles(documents: DataFrame, shingle: int = SHINGLE) -> DataFrame:
     return sh.distinct()
 
 
+def band_signatures(
+    sh: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, b, mh) band keys from (doc_id, shingle) rows — the shared
+    MinHash kernel of :func:`minhash_lsh_pairs` and the incremental probe.
+
+    All ``bands * rows_per_band`` minhashes in ONE groupBy over the shingle
+    rows: permutation p's minhash is ``min(md5("p|" || shingle))``, one
+    map-side-combinable MIN aggregate per p.  (Replicating every shingle row
+    n_perms times through a join with ``range(n_perms)`` before aggregating
+    does the same md5 work over an n_perms× larger pre-aggregation stream.)
+    Band keys are then a tiny per-doc explode of the aggregated row."""
+    n_perms = bands * rows_per_band
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))
+            ).alias(f"_m{p}")
+            for p in range(n_perms)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat(
+                            *[
+                                F.col(f"_m{b * rows_per_band + i}")
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("mh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("doc_id", F.col("_bk.b").alias("b"), F.col("_bk.mh").alias("mh"))
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     bands: int = 4,
@@ -92,7 +134,6 @@ def minhash_lsh_pairs(
     directly — output is identical to banding everything, minus the O(dups²)
     band-join blowup.
     """
-    n_perms = bands * rows_per_band
     members = documents.select(F.md5("text").alias("_fp"), "doc_id").cache()
     reps = (
         documents.select(F.md5("text").alias("_fp"), "doc_id", "text")
@@ -103,45 +144,9 @@ def minhash_lsh_pairs(
         )
     )
     sh = _doc_shingles(reps.select("doc_id", "text"), shingle).cache()
-    # all n_perms minhashes in ONE groupBy over the shingle rows: permutation
-    # p's minhash is min(md5("p|" || shingle)), one map-side-combinable MIN
-    # aggregate per p.  (The previous plan replicated every shingle row
-    # n_perms times through a join with range(n_perms) before aggregating —
-    # same md5 work, but an n_perms× larger pre-aggregation row stream.)
-    # Band keys are then a tiny per-doc explode of the aggregated row.
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))
-            ).alias(f"_m{p}")
-            for p in range(n_perms)
-        ]
-    )
-    band_df = (
-        mins.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"),
-                            F.concat(
-                                *[
-                                    F.col(f"_m{b * rows_per_band + i}")
-                                    for i in range(rows_per_band)
-                                ]
-                            ).alias("mh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_bk"),
-        )
-        .select("doc_id", F.col("_bk.b").alias("b"), F.col("_bk.mh").alias("mh"))
-        # the self-join below would otherwise recompute the whole
-        # shingle→hash→minhash subtree once per side
-        .cache()
-    )
+    # the self-join below would otherwise recompute the whole
+    # shingle→hash→minhash subtree once per side
+    band_df = band_signatures(sh, bands, rows_per_band).cache()
     a, c = band_df.alias("a"), band_df.alias("c")
     cand = (
         a.join(
@@ -746,4 +751,113 @@ def span_dup_stats(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
                 "dup_frac"
             ),
         )
+    )
+
+
+def incremental_minhash_dedup(
+    corpus_bands: DataFrame,
+    corpus: DataFrame,
+    batch: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle: int = SHINGLE,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate probe of a new snapshot against a PERSISTED corpus
+    MinHash index: batch documents whose text has exact Jaccard >=
+    ``min_jaccard`` with some corpus document, without recomputing a single
+    corpus signature.
+
+    ``corpus_bands`` is the build-once layout — ``band_signatures`` over one
+    representative per distinct corpus text (identical texts share every
+    band key, so banding them all would make the candidate join quadratic
+    within each duplicate cluster; one representative carries the cluster).
+    ``corpus`` supplies representative texts for the verify step by id.
+    Returns ``(doc_id, match_id, jaccard)``: every batch document (members
+    of duplicate batch texts included) with its best corpus match — highest
+    Jaccard, smallest corpus id among equals.
+
+    Scale shape (100 TB corpus, ~1% snapshot):
+
+    * corpus signatures are computed ONCE at index build; per snapshot the
+      corpus-side work is two map-side streams — the band layout probed
+      against the broadcast batch band keys, and the corpus text scan
+      semi-joined to the (tiny) candidate representative ids for verify.
+      Nothing corpus-sized is ever shuffled or broadcast.
+    * batch-side shingling/banding is snapshot-sized; the verify join
+      streams candidate corpus shingles against broadcast batch shingles.
+    * the candidate volume knob is the (b, r) S-curve, same as
+      :func:`minhash_lsh_pairs` (midpoint ``(1/b)^(1/r)``).
+    """
+    b_members = batch.select(F.md5("text").alias("_fp"), "doc_id")
+    b_reps = (
+        batch.select(F.md5("text").alias("_fp"), "doc_id", "text")
+        .groupBy("_fp")
+        .agg(F.min_by("text", "doc_id").alias("text"))
+    )
+    bsh = _doc_shingles(
+        b_reps.select(F.col("_fp").alias("doc_id"), "text"), shingle
+    ).cache()  # keyed by the batch text fingerprint, reused by band + verify
+    bb = band_signatures(bsh, bands, rows_per_band).select(
+        F.col("doc_id").alias("_fp"), "b", "mh"
+    )
+    # candidate (batch text, corpus rep) pairs: stream the persisted corpus
+    # band layout against the broadcast batch band keys
+    cand = (
+        corpus_bands.join(F.broadcast(bb), ["b", "mh"])
+        .select(F.col("doc_id").alias("_crep"), "_fp")
+        .distinct()
+    )
+    # verify shingles for candidate corpus reps only — a semi-join point
+    # lookup into the corpus text, never a full-corpus shingle job
+    crep_docs = corpus.join(
+        F.broadcast(cand.select(F.col("_crep").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    csh = _doc_shingles(crep_docs, shingle).select(
+        F.col("doc_id").alias("_crep"), "shingle"
+    )
+    inter = (
+        csh.join(F.broadcast(cand), "_crep")
+        .join(
+            F.broadcast(bsh.select(F.col("doc_id").alias("_fp"), "shingle")),
+            ["_fp", "shingle"],
+        )
+        .groupBy("_fp", "_crep")
+        .agg(F.count("*").alias("_ni"))
+    )
+    b_sizes = bsh.groupBy("doc_id").agg(F.count("*").alias("_nb")).select(
+        F.col("doc_id").alias("_fp"), "_nb"
+    )
+    c_sizes = csh.groupBy("_crep").agg(F.count("*").alias("_nc"))
+    verified = (
+        inter.join(F.broadcast(b_sizes), "_fp")
+        .join(F.broadcast(c_sizes), "_crep")
+        .select(
+            "_fp",
+            "_crep",
+            (
+                F.col("_ni")
+                / (F.col("_nb") + F.col("_nc") - F.col("_ni")).cast("double")
+            ).alias("_j"),
+        )
+        .filter(F.col("_j") >= F.lit(min_jaccard))
+    )
+    # best match per batch text: highest jaccard, smallest corpus id among
+    # equals — one max-of-struct agg (~id is strictly order-reversing over
+    # the whole long range, unlike -id at Long.MIN_VALUE)
+    best = verified.groupBy("_fp").agg(
+        F.max(
+            F.struct(
+                F.col("_j").alias("j"), F.bitwise_not("_crep").alias("t")
+            )
+        ).alias("_s")
+    ).select(
+        "_fp",
+        F.bitwise_not(F.col("_s.t")).alias("match_id"),
+        F.col("_s.j").alias("jaccard"),
+    )
+    return b_members.join(F.broadcast(best), "_fp").select(
+        "doc_id", "match_id", "jaccard"
     )

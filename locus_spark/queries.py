@@ -97,6 +97,7 @@ _CHECK_FIRST = [
     "doc_set_ops",
     "dedup_incremental",
     "doc_span_dedup",
+    "dedup_incremental_minhash",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -839,6 +840,109 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     derived.register_base_tables(spark, sf_dir)
     return span_dup_stats(spark.table("documents"))
+
+
+def _persisted_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once MinHash band index over the corpus split (doc_id % 5 != 0):
+    one representative per distinct corpus text (min doc_id), 4x2 banding —
+    new snapshots probe this layout without recomputing a corpus signature."""
+    from locus_spark.operators.dedup import _doc_shingles, band_signatures
+
+    def build() -> DataFrame:
+        corpus = spark.table("documents").filter(F.col("doc_id") % 5 != 0)
+        reps = (
+            corpus.select(F.md5("text").alias("_fp"), "doc_id", "text")
+            .groupBy("_fp")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by("text", "doc_id").alias("text"),
+            )
+        )
+        return band_signatures(_doc_shingles(reps.select("doc_id", "text")))
+
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "corpus_minhash_bands",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "documents"),
+    )
+
+
+# Near-dup twin of dedup_incremental: the batch probed against the PERSISTED
+# corpus MinHash band index, exact-Jaccard verified at threshold 0.5 (the 4x2
+# S-curve midpoint).  match_id is the corpus REPRESENTATIVE (min doc_id per
+# distinct corpus text) with the highest jaccard, smallest id among equals.
+_DEDUP_INCR_MINHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, text, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+), creps AS (
+  SELECT min(doc_id) AS rep_id, text FROM corpus GROUP BY text
+), breps AS (
+  SELECT fp, min(text) AS text FROM batch GROUP BY fp
+), csh AS (
+  SELECT DISTINCT rep_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT rep_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM creps) u, unnest(range(1, len(ts) - 1)) AS uu(i)
+  WHERE len(ts) >= 3
+), bsh AS (
+  SELECT DISTINCT fp, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT fp, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM breps) u, unnest(range(1, len(ts) - 1)) AS uu(i)
+  WHERE len(ts) >= 3
+), cbands AS (
+  SELECT rep_id, p // 2 AS b,
+         min(CASE WHEN p % 2 = 0 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END)
+      || min(CASE WHEN p % 2 = 1 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END) AS mh
+  FROM csh, unnest(range(0, 8)) AS pp(p)
+  GROUP BY rep_id, p // 2
+), bbands AS (
+  SELECT fp, p // 2 AS b,
+         min(CASE WHEN p % 2 = 0 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END)
+      || min(CASE WHEN p % 2 = 1 THEN md5(CAST(p AS VARCHAR) || '|' || shingle) END) AS mh
+  FROM bsh, unnest(range(0, 8)) AS pp(p)
+  GROUP BY fp, p // 2
+), cand AS (
+  SELECT DISTINCT bb.fp, cb.rep_id
+  FROM bbands bb JOIN cbands cb ON bb.b = cb.b AND bb.mh = cb.mh
+), inter AS (
+  SELECT cand.fp, cand.rep_id, count(*) AS ni
+  FROM cand
+  JOIN bsh ON bsh.fp = cand.fp
+  JOIN csh ON csh.rep_id = cand.rep_id AND csh.shingle = bsh.shingle
+  GROUP BY cand.fp, cand.rep_id
+), bsz AS (SELECT fp, count(*) AS nb FROM bsh GROUP BY fp),
+   csz AS (SELECT rep_id, count(*) AS nc FROM csh GROUP BY rep_id),
+   verified AS (
+  SELECT i.fp, i.rep_id,
+         i.ni / CAST(bsz.nb + csz.nc - i.ni AS DOUBLE) AS j
+  FROM inter i JOIN bsz ON bsz.fp = i.fp JOIN csz ON csz.rep_id = i.rep_id
+  WHERE i.ni / CAST(bsz.nb + csz.nc - i.ni AS DOUBLE) >= 0.5
+), best AS (
+  SELECT fp, max(j) AS mj FROM verified GROUP BY fp
+), matched AS (
+  SELECT v.fp, min(v.rep_id) AS match_id, b.mj AS jaccard
+  FROM verified v JOIN best b ON b.fp = v.fp AND v.j = b.mj
+  GROUP BY v.fp, b.mj
+)
+SELECT batch.doc_id AS doc_id, m.match_id AS match_id, m.jaccard AS jaccard
+FROM batch JOIN matched m ON m.fp = batch.fp
+"""
+
+
+@register("dedup_incremental_minhash", _DEDUP_INCR_MINHASH_ORACLE)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locus_spark.operators.dedup import incremental_minhash_dedup
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    layout = _persisted_corpus_bands(spark, sf_dir)
+    return incremental_minhash_dedup(
+        layout,
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 _MINHASH_ORACLE = """

@@ -118,3 +118,67 @@ def test_span_dup_stats_no_per_row_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def _bands_for(spark, docs):
+    from locus_spark.operators.dedup import _doc_shingles, band_signatures
+
+    return band_signatures(_doc_shingles(docs))
+
+
+def test_incremental_minhash_flags_exact_and_skips_disjoint(spark):
+    from locus_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = _docs(
+        spark, [(1, "w1 w2 w3 w4 w5 w6"), (2, "z1 z2 z3 z4 z5 z6")]
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "w1 w2 w3 w4 w5 w6"),  # exact dup of corpus 1 -> j = 1.0
+            (11, "q1 q2 q3 q4 q5 q6"),  # disjoint shingles -> never flagged
+            (12, "w1 w2 w3 w4 w5 w6"),  # batch-duplicate of 10 -> own row
+            (13, "a b"),  # < shingle tokens -> no signature, never flagged
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["match_id"], r["jaccard"])
+        for r in incremental_minhash_dedup(
+            _bands_for(spark, corpus), corpus, batch
+        ).collect()
+    }
+    assert out == {10: (1, 1.0), 12: (1, 1.0)}
+
+
+def test_incremental_minhash_dup_corpus_texts_collapse_to_min_rep(spark):
+    from locus_spark.operators.dedup import incremental_minhash_dedup
+
+    # two corpus docs with IDENTICAL text: the layout holds one
+    # representative (min id), and the match reports it
+    corpus = _docs(
+        spark, [(7, "m1 m2 m3 m4 m5"), (3, "m1 m2 m3 m4 m5")]
+    )
+    batch = _docs(spark, [(20, "m1 m2 m3 m4 m5")])
+    out = incremental_minhash_dedup(
+        _bands_for(spark, corpus), corpus, batch
+    ).collect()
+    assert [(r["doc_id"], r["match_id"], r["jaccard"]) for r in out] == [
+        (20, 3, 1.0)
+    ]
+
+
+def test_incremental_minhash_corpus_layout_never_sort_merge_joined(spark):
+    from locus_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = _docs(spark, [(1, "w1 w2 w3 w4")])
+    batch = _docs(spark, [(10, "w1 w2 w3 w4"), (11, "u1 u2 u3 u4")])
+    plan = (
+        incremental_minhash_dedup(_bands_for(spark, corpus), corpus, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every corpus-sized frame (band layout, verify shingles) must stream
+    # against broadcast batch-side builds — no corpus shuffle anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
