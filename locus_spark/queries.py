@@ -104,6 +104,8 @@ _CHECK_FIRST = [
 #: rounds (CORRECTNESS_r02 + r03) — the safest rows to leave outside a
 #: bounded check window.
 _CHECK_LAST = [
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "kd_find_box",
     "kd_find_ball",
     "kd_knn",
