@@ -19,12 +19,19 @@ build mandate adds beyond reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: number of token-hash partitions of the persisted posting layout —
 #: a term query reads |terms| directories regardless of corpus size.
 POSTING_BUCKETS = 64
+
+#: BM25 free parameters (Robertson et al., TREC-3 defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 def build_postings(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,11 +109,160 @@ def search_persisted(
     return search_and(prune_to_term_buckets(spark, layout, terms), terms)
 
 
+def build_scored_postings(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(tok, doc_id, tf, dl) posting rows with the document length
+    DENORMALIZED onto every posting — the standard search-engine layout:
+    ranked (BM25) queries then never join the corpus-sized doc-length
+    table at query time; the only query-time join is against the
+    |terms|-row document-frequency side, which broadcasts."""
+    toks = documents.select(
+        "doc_id",
+        F.filter(F.split(text_col, " "), lambda t: t != F.lit("")).alias("_ts"),
+    ).select("doc_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
+    return toks.groupBy("tok", "doc_id", "dl").agg(F.count("*").alias("tf"))
+
+
+def corpus_stats(documents: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(n_docs, avgdl): one aggregation producing two scalars — bounded
+    driver work, same contract as the IVF n_probe centroid collect."""
+    row = (
+        documents.select(
+            F.size(
+                F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+            ).alias("dl")
+        )
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    return int(row["n"]), float(row["avgdl"])
+
+
+def search_bm25(
+    postings: DataFrame,
+    terms: tuple[str, ...],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (disjunctive: any query term scores).
+
+    Plan shape, sized for a corpus-scale posting table:
+
+    - filter to the query terms first — a pushable ``tok IN`` predicate
+      (directory pruning on the persisted bucket layout), so every later
+      stage touches query-term postings only, never the corpus;
+    - per-term document frequency is a |terms|-row aggregate joined back
+      with an explicit ``broadcast`` — no second shuffle of the postings;
+    - ``dl`` rides the posting row (``build_scored_postings``), so there
+      is NO join against a corpus-sized document table;
+    - the per-document term sum is a fixed-order column pivot
+      (``max(case tok)`` per term added left-to-right), not a float
+      ``sum()`` whose partition-dependent addition order would make the
+      score nondeterministic;
+    - global top-k is ``ORDER BY .. LIMIT k`` — Spark's
+      TakeOrderedAndProject (per-partition heap top-k, driver merge of
+      ``#partitions × k`` rows), never a single-reducer window.
+
+    Scores are rounded to 6 decimals BEFORE ranking (ties then broken by
+    ascending doc_id) so the ranking is reproducible across engines whose
+    ``ln`` differs in the last ulp (measured: Spark vs DuckDB)."""
+    hits = postings.filter(F.col("tok").isin(list(terms)))
+    dfreq = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = hits.join(F.broadcast(dfreq), "tok").select(
+        "doc_id", "tok", (idf * norm).alias("s")
+    )
+    per_term: list[Column] = [
+        F.max(F.when(F.col("tok") == F.lit(t), F.col("s"))).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    summed = functools.reduce(
+        operator.add,
+        [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(terms))],
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(*per_term)
+        .select("doc_id", F.round(summed, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB SQL computing BM25 with the EXACT expression shape (and
+    left-to-right addition order) of ``search_bm25`` so doubles match
+    bit-for-bit after the shared 6-decimal rounding."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN tok = '{t}' THEN s END), 0.0)" for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks
+), tf AS (
+  SELECT tok, doc_id, dl, count(*) AS tf FROM posting
+  WHERE tok IN ({terms_sql})
+  GROUP BY tok, doc_id, dl
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT)) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  -- parameter literals CAST to DOUBLE: DuckDB otherwise parses them as
+  -- DECIMAL and computes BIGINT*DECIMAL exactly, diverging by an ulp
+  -- from Spark's double arithmetic
+  SELECT tf.doc_id, tf.tok,
+         ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * CAST({k1 + 1.0!r} AS DOUBLE)) /
+            (tf.tf + CAST({k1!r} AS DOUBLE)
+                     * (CAST({1.0 - b!r} AS DOUBLE)
+                        + CAST({b!r} AS DOUBLE) * tf.dl / stats.avgdl)))
+           AS s
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+)
+SELECT doc_id, round({pivot}, 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 __all__ = [
     "POSTING_BUCKETS",
+    "BM25_K1",
+    "BM25_B",
     "build_postings",
     "search_and",
     "write_posting_layout",
     "prune_to_term_buckets",
     "search_persisted",
+    "build_scored_postings",
+    "corpus_stats",
+    "search_bm25",
+    "bm25_oracle_sql",
 ]

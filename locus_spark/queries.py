@@ -98,6 +98,8 @@ _CHECK_FIRST = [
     "dedup_incremental",
     "doc_span_dedup",
     "dedup_incremental_minhash",
+    "doc_search_bm25",
+    "doc_search_bm25_persisted",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2739,6 +2741,73 @@ def q_doc_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived.register_base_tables(spark, sf_dir)
     layout = _persisted_posting_layout(spark, sf_dir)
     return search_persisted(spark, layout, SEARCH_TERMS)
+
+
+def _bm25_oracle() -> str:
+    from locus_spark.operators.invindex import bm25_oracle_sql
+
+    return bm25_oracle_sql(SEARCH_TERMS, k=10)
+
+
+@register("doc_search_bm25", _bm25_oracle())
+def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 over the query terms: dl-denormalized
+    postings (no corpus join at query time), broadcast |terms|-row df
+    side, fixed-order per-term pivot sum (deterministic float addition),
+    TakeOrdered top-k — scores rounded to 6 decimals before ranking for
+    cross-engine ln reproducibility (operators/invindex.py:search_bm25)."""
+    from locus_spark.operators.invindex import (
+        build_scored_postings,
+        corpus_stats,
+        search_bm25,
+    )
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_docs, avgdl = corpus_stats(docs)
+    postings = build_scored_postings(docs)
+    return search_bm25(postings, SEARCH_TERMS, n_docs, avgdl, k=10)
+
+
+def _persisted_scored_posting_layout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build-once (tok, doc_id, tf, dl) layout partitioned by token hash
+    bucket — the ranked-search twin of ``_persisted_posting_layout``."""
+    from locus_spark.operators.invindex import _bucket, build_scored_postings
+
+    def build() -> DataFrame:
+        return build_scored_postings(spark.table("documents")).withColumn(
+            "_pb", _bucket(F.col("tok"))
+        ).repartition("_pb")
+
+    return _index_checkpoint(sf_dir).run_stage(
+        spark,
+        "postings_scored",
+        build,
+        fingerprint=_parquet_fingerprint(sf_dir, "documents"),
+        partition_by=["_pb"],
+    )
+
+
+@register("doc_search_bm25_persisted", _bm25_oracle())
+def q_doc_search_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the persisted bucket-partitioned scored-posting
+    layout: `_pb IN` directory pruning + pushed `tok IN` row-group
+    predicate, then the same broadcast-df ranked plan — at corpus scale a
+    ranked query reads |terms| directories, never the posting table."""
+    from locus_spark.operators.invindex import (
+        corpus_stats,
+        prune_to_term_buckets,
+        search_bm25,
+    )
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_docs, avgdl = corpus_stats(docs)
+    layout = _persisted_scored_posting_layout(spark, sf_dir)
+    pruned = prune_to_term_buckets(spark, layout, SEARCH_TERMS).drop("_pb")
+    return search_bm25(pruned, SEARCH_TERMS, n_docs, avgdl, k=10)
 
 
 _ASOF_ORACLE = """

@@ -64,6 +64,70 @@ def test_persisted_layout_prunes_to_term_buckets(spark, tmp_path):
     assert POSTING_BUCKETS == 64
 
 
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    docs = _docs(spark)
+    from locus_spark.operators.invindex import (
+        BM25_B,
+        BM25_K1,
+        build_scored_postings,
+        corpus_stats,
+        search_bm25,
+    )
+
+    n, avgdl = corpus_stats(docs)
+    assert n == 5 and avgdl == (3 + 3 + 2 + 4 + 0) / 5.0
+    terms = ("red", "blue")
+    out = search_bm25(build_scored_postings(docs), terms, n, avgdl, k=4)
+    got = [(r["doc_id"], r["bm25"]) for r in out.collect()]
+
+    # python mirror of the Robertson BM25 formula
+    texts = {1: "red green blue", 2: "red red green", 3: "green blue", 4: "red blue red green"}
+    tfs = {d: {t: texts[d].split().count(t) for t in terms} for d in texts}
+    dfreq = {t: sum(1 for d in tfs if tfs[d][t] > 0) for t in terms}
+
+    def score(d):
+        dl = len(texts[d].split())
+        s = 0.0
+        for t in terms:
+            tf = tfs[d][t]
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return round(s, 6)
+
+    want = sorted(
+        ((d, score(d)) for d in texts if score(d) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:4]
+    assert [(d, round(s, 6)) for d, s in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+    # ranking sanity: doc 4 (two 'red' + 'blue') outranks doc 3 (just 'blue')
+    ranked = [d for d, _ in got]
+    assert ranked.index(4) < ranked.index(3)
+
+
+def test_bm25_topk_plan_is_take_ordered_not_window(spark):
+    docs = _docs(spark)
+    from locus_spark.operators.invindex import (
+        build_scored_postings,
+        corpus_stats,
+        search_bm25,
+    )
+
+    n, avgdl = corpus_stats(docs)
+    out = search_bm25(build_scored_postings(docs), ("red", "green"), n, avgdl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no window
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # |terms|-row df side broadcast
+
+
 def _ts(m):
     return dt.datetime(2026, 1, 1, 12, m)
 
