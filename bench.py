@@ -79,6 +79,8 @@ HEADLINE = [
     "dedup_incremental",
     "doc_span_dedup",
     "dedup_incremental_minhash",
+    "doc_search_bm25_persisted",
+    "doc_pagerank",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family

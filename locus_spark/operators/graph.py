@@ -1,0 +1,210 @@
+"""PageRank over a web-style link graph — the iterative-algorithm exemplar
+beside connected components (operators/components.py).
+
+A Common-Crawl-scale corpus is a graph (pages link to pages); rank-style
+centrality drives crawl prioritization and quality weighting in training-data
+curation.  The sandbox corpus has no real hyperlinks, so ``derive_links``
+synthesises a DETERMINISTIC pseudo link graph from the document ids alone —
+md5-based, so DuckDB derives the bit-identical edge set for the oracle (same
+cross-engine hash contract as operators/sampling.py).
+
+Algorithm: classic damped power iteration (Page et al., 1999)::
+
+    r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u)
+
+Scale shape (the Pregel shuffle pattern):
+
+- the per-edge weight ``1/outdeg`` is joined ONCE before the loop and the
+  weighted edge frame is lineage-truncated — rounds never recompute degrees;
+- each round is one join (ranks |V| rows x edges |E| rows, both key-
+  partitioned on ``src``) + one ``groupBy(dst).sum`` with map-side partial
+  aggregation — no component/neighborhood ever funnels through one task;
+- round state is materialized through the same checkpoint machinery as the
+  kNN ring loop and CC (``plans/knn._truncate_lineage``), so lineage stays
+  O(1) across iterations;
+- at production scale the weighted edge frame belongs in a bucketed table
+  (sources/bucketed.py) keyed by ``src`` so the per-round join co-locates
+  without re-shuffling the edges; the rank frame (|V| rows) is the only
+  per-round shuffle.
+
+Determinism contract: a FIXED iteration count (default 10) keeps the result
+oracle-comparable; float contributions are summed in engine-dependent order,
+so callers compare at 6-decimal rounding (drift across 10 damped rounds is
+~1e-15 relative).  ``tol`` enables early termination (one extra max-delta
+aggregate per round) for production convergence runs where bit-for-bit
+reproducibility is not required.
+
+Reference scope note: the locus reference (/root/reference/locus) has no
+graph surface; this is webtext functionality the build mandate adds beyond
+reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locus_spark.plans.knn import _truncate_lineage
+
+#: standard damping factor (Page et al., 1999).
+PR_DAMPING = 0.85
+#: out-links per document in the derived pseudo graph.
+PR_OUT_LINKS = 3
+#: fixed power-iteration count for oracle-deterministic runs.
+PR_ITERATIONS = 10
+
+
+def _hash_mod(prefix: str, col: F.Column, modulus: int) -> F.Column:
+    """uint32(md5(prefix || col)) % modulus — first 8 md5 hex chars, the
+    cross-engine hash contract shared with operators/sampling.py (DuckDB:
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % modulus``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(modulus)
+    )
+
+
+def derive_links(
+    documents: DataFrame,
+    n_docs: int,
+    n_links: int = PR_OUT_LINKS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src, dst) pseudo link graph: document ``u`` links to
+    ``uint32(md5('L{i}:u')) % n_docs`` for i in 0..n_links-1.
+
+    Requires a CONTIGUOUS id space 0..n_docs-1 (the synth corpus contract);
+    a non-contiguous corpus needs an id-densification pass first.  Parallel
+    edges and self-links are kept — they are deterministic in both engines
+    and PageRank treats them as ordinary multi-edges."""
+    targets = F.array(
+        *[_hash_mod(f"L{i}:", F.col(id_col), n_docs) for i in range(n_links)]
+    )
+    return documents.select(
+        F.col(id_col).alias("src"), F.explode(targets).alias("dst")
+    )
+
+
+def round_contrib(edges_w: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One round's incoming-mass sums: join weighted edges with the rank
+    frame on ``src``, then ``groupBy(dst).sum`` — the partial (map-side)
+    aggregate before the dst shuffle is the scale-critical plan property
+    (pinned in tests/test_graph.py)."""
+    return (
+        edges_w.join(ranks.withColumnRenamed("v", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") * F.col("w")).alias("_s"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    damping: float = PR_DAMPING,
+    iterations: int = PR_ITERATIONS,
+    tol: float | None = None,
+) -> DataFrame:
+    """(v, pr) after ``iterations`` damped power-iteration rounds.
+
+    ``nodes`` must have column ``v`` (every vertex, including ones with no
+    in-links — they receive the teleport mass ``(1-d)/N``), ``edges``
+    columns ``src``/``dst``.  Vertices without OUT-links are not expected
+    from ``derive_links`` (every doc emits ``n_links`` edges); true dangling
+    mass redistribution is out of scope and documented here.
+
+    With ``tol`` set, iteration stops early once ``max_v |r_{t+1}-r_t|``
+    drops below it (costs one aggregate job per round)."""
+    base = (1.0 - damping) / float(n_nodes)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    edges_w = _truncate_lineage(
+        edges.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("_od")).alias("w")
+        )
+    )
+    ranks = _truncate_lineage(
+        nodes.select("v", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r"))
+    )
+    for _ in range(iterations):
+        contrib = round_contrib(edges_w, ranks)
+        stepped = (
+            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        stepped = _truncate_lineage(stepped)
+        if tol is not None:
+            delta = (
+                stepped.withColumnRenamed("r", "_rn")
+                .join(ranks, "v")
+                .agg(F.max(F.abs(F.col("_rn") - F.col("r"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = stepped
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = stepped
+    return ranks.select("v", "r")
+
+
+def pagerank_oracle_sql(
+    damping: float = PR_DAMPING,
+    n_links: int = PR_OUT_LINKS,
+    iterations: int = PR_ITERATIONS,
+) -> str:
+    """DuckDB SQL unrolling the fixed-round power iteration with the EXACT
+    expression shapes of ``pagerank`` over ``derive_links`` — parameter
+    literals CAST to DOUBLE so DuckDB's decimal arithmetic never diverges
+    from Spark's double math; results compare at 6-decimal rounding."""
+    link_selects = "\n  UNION ALL ".join(
+        f"SELECT v AS src, (('0x' || substr(md5('L{i}:' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % nn.ni) AS dst FROM nodes CROSS JOIN nn"
+        for i in range(n_links)
+    )
+    ctes = [
+        "nodes AS (SELECT doc_id AS v FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM nodes)",
+        f"links AS (\n  {link_selects}\n)",
+        "outdeg AS (SELECT src, count(*) AS _od FROM links GROUP BY src)",
+        "ew AS (SELECT links.src, links.dst, CAST(1.0 AS DOUBLE) / outdeg._od AS w"
+        " FROM links JOIN outdeg USING (src))",
+        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    base_lit = repr((1.0 - damping))
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT nodes.v,
+         CAST({base_lit} AS DOUBLE) / nn.n
+         + CAST({damping!r} AS DOUBLE) * coalesce(c._s, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT ew.dst AS v, sum(p.r * ew.w) AS _s
+             FROM ew JOIN r{t - 1} p ON p.v = ew.src GROUP BY ew.dst) c
+    ON c.v = nodes.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS doc_id, round(r, 6) AS pr FROM r{iterations}"
+    )
+
+
+__all__ = [
+    "PR_DAMPING",
+    "PR_OUT_LINKS",
+    "PR_ITERATIONS",
+    "derive_links",
+    "round_contrib",
+    "pagerank",
+    "pagerank_oracle_sql",
+]

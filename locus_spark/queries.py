@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "dedup_incremental_minhash",
     "doc_search_bm25",
     "doc_search_bm25_persisted",
+    "doc_pagerank",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2808,6 +2809,32 @@ def q_doc_search_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = _persisted_scored_posting_layout(spark, sf_dir)
     pruned = prune_to_term_buckets(spark, layout, SEARCH_TERMS).drop("_pb")
     return search_bm25(pruned, SEARCH_TERMS, n_docs, avgdl, k=10)
+
+
+def _pagerank_oracle() -> str:
+    from locus_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql()
+
+
+@register("doc_pagerank", _pagerank_oracle())
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the deterministic md5-derived pseudo link graph: 10
+    damped power-iteration rounds, per-edge 1/outdeg weights joined once
+    before the loop, per-round join + map-side-combined sum(contrib),
+    lineage-truncated round state — the Pregel shuffle shape
+    (operators/graph.py; oracle = fully unrolled 10-round DuckDB CTE)."""
+    from locus_spark.operators.graph import derive_links, pagerank
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    edges = derive_links(docs, n)
+    out = pagerank(nodes, edges, n)
+    return out.select(
+        F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
+    )
 
 
 _ASOF_ORACLE = """
