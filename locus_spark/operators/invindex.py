@@ -109,6 +109,76 @@ def search_persisted(
     return search_and(prune_to_term_buckets(spark, layout, terms), terms)
 
 
+def build_positional_postings(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(tok, doc_id, pos) rows with 1-based token positions — the layout
+    phrase queries need.  Rows (not per-doc arrays) for the same skew
+    reason as ``build_postings``."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+        ).alias("pos0", "tok"),
+    )
+    return toks.select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+
+
+def search_phrase(postings: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """(doc_id, n_occ): documents containing the EXACT consecutive token
+    sequence ``phrase``, with occurrence counts.
+
+    No m-way positional self-join: each posting of a phrase term emits its
+    slot index i (every slot whose term matches — repeated phrase terms
+    emit several), keyed by the implied phrase START ``pos - i``; ONE
+    map-side-combined aggregation per (doc_id, start) then checks
+    ``count(distinct slot) == m``.  The shuffle carries only phrase-term
+    postings, and the m-term match costs one aggregation regardless of m."""
+    slots = F.array(
+        *[F.when(F.col("tok") == F.lit(t), F.lit(i)) for i, t in enumerate(phrase)]
+    )
+    hits = postings.filter(F.col("tok").isin(list(set(phrase)))).select(
+        "doc_id",
+        "pos",
+        F.explode(F.filter(slots, lambda x: x.isNotNull())).alias("slot"),
+    )
+    occ = (
+        hits.select("doc_id", (F.col("pos") - F.col("slot")).alias("start"), "slot")
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("_ns"))
+        .filter(F.col("_ns") == len(phrase))
+    )
+    return occ.groupBy("doc_id").agg(F.count("*").alias("n_occ"))
+
+
+def phrase_oracle_sql(phrase: tuple[str, ...]) -> str:
+    """DuckDB mirror of ``search_phrase`` over ``documents`` (parallel
+    unnest zips token and position lists)."""
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
+    cases = ", ".join(
+        f"CASE WHEN tok = '{t}' THEN {i} END" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM toks
+), hits AS (
+  SELECT doc_id, pos,
+         unnest(list_filter([{cases}], x -> x IS NOT NULL)) AS slot
+  FROM pos WHERE tok IN ({terms_sql})
+), occ AS (
+  SELECT doc_id, pos - slot AS start
+  FROM hits GROUP BY doc_id, pos - slot
+  HAVING count(DISTINCT slot) = {len(phrase)}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY doc_id
+"""
+
+
 def build_scored_postings(
     documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -261,6 +331,9 @@ __all__ = [
     "write_posting_layout",
     "prune_to_term_buckets",
     "search_persisted",
+    "build_positional_postings",
+    "search_phrase",
+    "phrase_oracle_sql",
     "build_scored_postings",
     "corpus_stats",
     "search_bm25",

@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "doc_search_bm25",
     "doc_search_bm25_persisted",
     "doc_pagerank",
+    "doc_search_phrase",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2809,6 +2810,32 @@ def q_doc_search_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = _persisted_scored_posting_layout(spark, sf_dir)
     pruned = prune_to_term_buckets(spark, layout, SEARCH_TERMS).drop("_pb")
     return search_bm25(pruned, SEARCH_TERMS, n_docs, avgdl, k=10)
+
+
+#: fixed phrase for the driver row — a bigram that occurs in the corpus
+PHRASE_TERMS = ("table", "hash")
+
+
+def _phrase_oracle() -> str:
+    from locus_spark.operators.invindex import phrase_oracle_sql
+
+    return phrase_oracle_sql(PHRASE_TERMS)
+
+
+@register("doc_search_phrase", _phrase_oracle())
+def q_doc_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings: each phrase-term
+    posting emits its slot index keyed by the implied phrase start, one
+    map-side-combined aggregation checks all m slots present — no m-way
+    positional self-join (operators/invindex.py:search_phrase)."""
+    from locus_spark.operators.invindex import (
+        build_positional_postings,
+        search_phrase,
+    )
+
+    derived.register_base_tables(spark, sf_dir)
+    postings = build_positional_postings(spark.table("documents"))
+    return search_phrase(postings, PHRASE_TERMS)
 
 
 def _pagerank_oracle() -> str:

@@ -112,6 +112,58 @@ def test_bm25_matches_reference_formula(spark):
     assert ranked.index(4) < ranked.index(3)
 
 
+def test_phrase_search_matches_bruteforce(spark):
+    from locus_spark.operators.invindex import (
+        build_positional_postings,
+        search_phrase,
+    )
+
+    rows = [
+        (1, "a b c a b"),       # "a b": starts 1 and 4 -> 2 occurrences
+        (2, "b a b a"),         # "a b": start 2 -> 1
+        (3, "a a b"),           # "a b": start 2 -> 1
+        (4, "b b a"),           # none
+        (5, ""),
+        (6, "a b a b a"),       # "a b a": starts 1 and 3 -> 2 (overlapping)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = build_positional_postings(docs)
+
+    def brute(phrase):
+        want = {}
+        for d, t in rows:
+            ts = [x for x in t.split(" ") if x]
+            n = sum(
+                1
+                for s in range(len(ts) - len(phrase) + 1)
+                if ts[s : s + len(phrase)] == list(phrase)
+            )
+            if n:
+                want[d] = n
+        return want
+
+    for phrase in [("a", "b"), ("a", "b", "a"), ("b", "b"), ("c",), ("a", "a", "b")]:
+        got = {
+            r["doc_id"]: r["n_occ"]
+            for r in search_phrase(postings, phrase).collect()
+        }
+        assert got == brute(phrase), phrase
+
+
+def test_phrase_search_is_one_agg_no_self_join(spark):
+    from locus_spark.operators.invindex import (
+        build_positional_postings,
+        search_phrase,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    out = search_phrase(build_positional_postings(docs), ("x", "y", "z"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # slot-offset aggregation, never an m-way join
+
+
 def test_bm25_topk_plan_is_take_ordered_not_window(spark):
     docs = _docs(spark)
     from locus_spark.operators.invindex import (
