@@ -108,6 +108,11 @@ _CHECK_FIRST = [
 #: rounds (CORRECTNESS_r02 + r03) — the safest rows to leave outside a
 #: bounded check window.
 _CHECK_LAST = [
+    # green in both r2 and r3, displaced from the window by round-4 queries:
+    "kd_find_box_persisted",
+    "kd_knn_persisted",
+    "ann_lsh_top1_planted",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "kd_find_box",
