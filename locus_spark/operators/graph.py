@@ -89,6 +89,39 @@ def derive_links(
     )
 
 
+def weight_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst, w=1/outdeg): the static per-edge weight frame the
+    iteration loop consumes — computed ONCE, never inside a round."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    return edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("_od")).alias("w")
+    )
+
+
+def prepare_edges_bucketed(
+    spark,
+    edges: DataFrame,
+    table: str = "pr_edges_w",
+    path: str = "/tmp/locus_pr_edges_w",
+    buckets: int = 64,
+) -> DataFrame:
+    """Materialize the weighted edge frame as a table BUCKETED BY ``src``
+    (sources/bucketed.py machinery): the scan then reports
+    HashPartitioning(src), so every round's rank join shuffles ONLY the
+    |V|-row rank frame — the |E|-row edge side is read co-located from
+    disk instead of being re-exchanged each round.  This is the production
+    shape for iterate-over-static-graph jobs; pair ``buckets`` with the
+    session's shuffle partition count so the rank side lands on the same
+    partitioning."""
+    from locus_spark.sources.bucketed import write_bucketed
+
+    # bucket files sorted by src: a sort-merge rank join then reads sorted
+    # runs straight off disk instead of re-sorting |E| rows every round
+    return write_bucketed(
+        weight_edges(edges), table, path, ["src"], buckets, sort_cols=["src"]
+    )
+
+
 def round_contrib(edges_w: DataFrame, ranks: DataFrame) -> DataFrame:
     """One round's incoming-mass sums: join weighted edges with the rank
     frame on ``src``, then ``groupBy(dst).sum`` — the partial (map-side)
@@ -108,6 +141,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     iterations: int = PR_ITERATIONS,
     tol: float | None = None,
+    edges_are_weighted: bool = False,
 ) -> DataFrame:
     """(v, pr) after ``iterations`` damped power-iteration rounds.
 
@@ -118,14 +152,15 @@ def pagerank(
     mass redistribution is out of scope and documented here.
 
     With ``tol`` set, iteration stops early once ``max_v |r_{t+1}-r_t|``
-    drops below it (costs one aggregate job per round)."""
+    drops below it (costs one aggregate job per round).
+
+    With ``edges_are_weighted`` the caller passes a (src, dst, w) frame
+    directly — typically a ``prepare_edges_bucketed`` scan, which is left
+    UNTOUCHED (no lineage truncation: a bucketed scan already reads
+    materialized co-located files, and wrapping it would discard its
+    HashPartitioning and reintroduce the per-round edge shuffle)."""
     base = (1.0 - damping) / float(n_nodes)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("_od"))
-    edges_w = _truncate_lineage(
-        edges.join(outdeg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("_od")).alias("w")
-        )
-    )
+    edges_w = edges if edges_are_weighted else _truncate_lineage(weight_edges(edges))
     ranks = _truncate_lineage(
         nodes.select("v", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r"))
     )

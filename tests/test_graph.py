@@ -67,6 +67,51 @@ def test_derive_links_shape_and_determinism(spark):
     assert set(per_src.values()) == {PR_OUT_LINKS}
 
 
+def test_pagerank_bucketed_edges_match_and_skip_edge_shuffle(spark, tmp_path):
+    from locus_spark.operators.graph import (
+        pagerank,
+        prepare_edges_bucketed,
+        round_contrib,
+    )
+
+    nodes, edges, _ = _graph(spark)
+    ew = prepare_edges_bucketed(
+        spark, edges, table="pr_edges_pytest",
+        path=str(tmp_path / "pr_edges"), buckets=4,
+    )
+    try:
+        a = {r["v"]: r["r"] for r in pagerank(nodes, edges, 5).collect()}
+        b = {
+            r["v"]: r["r"]
+            for r in pagerank(
+                nodes, ew, 5, edges_are_weighted=True
+            ).collect()
+        }
+        assert set(a) == set(b)
+        assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+        # the edge-side scan must be bucketed (co-located, no Exchange on
+        # the edge side of the rank join) even when the rank side is too
+        # big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ranks = nodes.select("v", F.lit(0.2).alias("r"))
+            plan = (
+                round_contrib(ew, ranks)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Bucketed: true" in plan
+        # exactly two exchanges: rank side into the bucket partitioning,
+        # and the dst aggregation — never a third for the edge frame
+        assert plan.count("Exchange hashpartitioning") == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_pytest")
+
+
 def test_pagerank_round_agg_is_partial(spark):
     """The per-round contribution sum must show a partial (map-side)
     aggregate before the dst shuffle — the scale-critical plan property.
