@@ -264,3 +264,121 @@ def remove_boilerplate_passages(
         F.count("*").alias("n_passages"),
         F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
     )
+
+
+#: collocation extraction defaults: a bigram must appear this often to rank
+PMI_MIN_COUNT = 5
+
+
+def corpus_token_totals(documents: DataFrame) -> tuple[int, int]:
+    """(total unigrams, total bigrams) — one aggregation, two scalars
+    (bounded driver work, the corpus_stats contract)."""
+    row = (
+        documents.select(F.size(_tokens()).alias("nt"))
+        .agg(
+            F.sum("nt").alias("nu"),
+            F.sum(F.greatest(F.col("nt") - 1, F.lit(0))).alias("nb"),
+        )
+        .first()
+    )
+    return int(row["nu"]), int(row["nb"])
+
+
+def _bigrams(col: str = "text"):
+    """1-based adjacent-pair strings; Spark's sequence(2, n) DESCENDS when
+    n < 2, so short docs are guarded to an empty array explicitly."""
+    ts = _tokens(col)
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size(ts)),
+        lambda i: F.concat(
+            F.element_at(ts, i - F.lit(1)), F.lit(" "), F.element_at(ts, i)
+        ),
+    )
+    return F.when(F.size(ts) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    n_unigrams: int,
+    n_bigrams: int,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``PMI(a,b) = ln( p(ab) / (p(a) p(b)) )`` over adjacent token pairs.
+
+    Plan shape at corpus scale: bigrams are built INSIDE each document row
+    (an array transform — no positional self-join), unigram and bigram
+    counts are two map-side-combined aggregations, and the two probability
+    joins key the ``min_count``-filtered bigram table by its left/right
+    token against the unigram table — the filter bounds the joined side
+    long before the shuffle.  Top-k is TakeOrderedAndProject.  The PMI is
+    ranked at 6-decimal rounding (ties by bigram text) for cross-engine
+    ``ln`` reproducibility, same contract as BM25."""
+    uni = (
+        documents.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        documents.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .withColumn("tok_a", F.split("bg", " ")[0])
+        .withColumn("tok_b", F.split("bg", " ")[1])
+    )
+    nu, nb = float(n_unigrams), float(n_bigrams)
+    joined = (
+        bi.join(uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b")), "tok_b")
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.lit(nb))
+        / ((F.col("c_a") / F.lit(nu)) * (F.col("c_b") / F.lit(nu)))
+    )
+    return (
+        joined.select("bg", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(k)
+    )
+
+
+def pmi_oracle_sql(min_count: int = PMI_MIN_COUNT, k: int = 20) -> str:
+    """DuckDB mirror of ``pmi_collocations`` with identical expression
+    shapes (counts divided by DOUBLE totals; shared 6-decimal rounding)."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), nu AS (
+  SELECT CAST(sum(len(ts)) AS DOUBLE) AS n,
+         CAST(sum(greatest(len(ts) - 1, 0)) AS DOUBLE) AS nbi
+  FROM toks
+), uni AS (
+  SELECT unnest(ts) AS tok FROM toks
+), uc AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+), bi AS (
+  SELECT unnest(list_transform(generate_series(2, len(ts)),
+                               i -> ts[i-1] || ' ' || ts[i])) AS bg
+  FROM toks
+), bc AS (
+  SELECT bg, count(*) AS c_ab,
+         string_split(bg, ' ')[1] AS tok_a,
+         string_split(bg, ' ')[2] AS tok_b
+  FROM bi GROUP BY bg
+  HAVING count(*) >= {min_count}
+)
+SELECT bc.bg, bc.c_ab,
+       round(ln((bc.c_ab / nu.nbi)
+                / ((ua.c / nu.n) * (ub.c / nu.n))), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.tok = bc.tok_a
+JOIN uc ub ON ub.tok = bc.tok_b
+CROSS JOIN nu
+ORDER BY pmi DESC, bg ASC
+LIMIT {k}
+"""

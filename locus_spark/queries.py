@@ -102,11 +102,14 @@ _CHECK_FIRST = [
     "doc_search_bm25_persisted",
     "doc_pagerank",
     "doc_search_phrase",
+    "doc_pmi_collocations",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
 #: rounds (CORRECTNESS_r02 + r03) — the safest rows to leave outside a
-#: bounded check window.
+#: bounded check window.  With more registered queries than TAIL slots, the
+#: overflow (the mid-section tail, r3-green once and locally re-verified via
+#: tools/check_oracle.py this round) is the next-safest tier.
 _CHECK_LAST = [
     # green in both r2 and r3, displaced from the window by round-4 queries:
     "kd_find_box_persisted",
@@ -2841,6 +2844,30 @@ def q_doc_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived.register_base_tables(spark, sf_dir)
     postings = build_positional_postings(spark.table("documents"))
     return search_phrase(postings, PHRASE_TERMS)
+
+
+def _pmi_oracle() -> str:
+    from locus_spark.operators.textops import pmi_oracle_sql
+
+    return pmi_oracle_sql()
+
+
+@register("doc_pmi_collocations", _pmi_oracle())
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent token pairs: bigrams built
+    inside each document row (array transform, no positional self-join),
+    two map-side-combined count aggregations, min-count filter BEFORE the
+    probability joins, TakeOrdered top-k; ranked at 6-decimal rounding
+    (operators/textops.py:pmi_collocations)."""
+    from locus_spark.operators.textops import (
+        corpus_token_totals,
+        pmi_collocations,
+    )
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    nu, nb = corpus_token_totals(docs)
+    return pmi_collocations(docs, nu, nb)
 
 
 def _pagerank_oracle() -> str:

@@ -134,3 +134,40 @@ def test_remove_boilerplate_passages_planted(spark):
     # under-threshold passages survive, order preserved
     assert got[3] == ("shared pair phrase here iota kappa lambda mu", 2, 0)
     assert got[4] == ("shared pair phrase here nu xi omicron pi", 2, 0)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from locus_spark.operators.textops import (
+        corpus_token_totals,
+        pmi_collocations,
+    )
+
+    rows = [
+        (1, "x y x y x y"),   # bigrams: xy yx xy yx xy
+        (2, "x y z"),         # xy yz
+        (3, "z"),             # no bigrams (guard path)
+        (4, ""),              # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nu, nb = corpus_token_totals(docs)
+    assert nu == 10 and nb == 7  # 5 + 2 + 0 + 0 bigrams
+
+    out = pmi_collocations(docs, nu, nb, min_count=2, k=10).collect()
+    got = {r["bg"]: (r["c_ab"], r["pmi"]) for r in out}
+    # counts: "x y": 4, "y x": 2, "y z": 1 (dropped by min_count)
+    assert set(got) == {"x y", "y x"}
+    c = {"x": 4, "y": 4, "z": 2}
+
+    def pmi(c_ab, a, b):
+        return round(
+            math.log((c_ab / nb) / ((c[a] / nu) * (c[b] / nu))), 6
+        )
+
+    assert got["x y"] == (4, pmi(4, "x", "y"))
+    assert got["y x"] == (2, pmi(2, "y", "x"))
+    # ranking: higher PMI first
+    assert out[0]["bg"] == "x y"
