@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "doc_search_bm25_persisted",
     "doc_pagerank",
+    "doc_search_phrase",
+    "doc_pmi_collocations",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family

@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "doc_pagerank",
     "doc_search_phrase",
     "doc_pmi_collocations",
+    "events_trending_props",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2844,6 +2845,48 @@ def q_doc_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived.register_base_tables(spark, sf_dir)
     postings = build_positional_postings(spark.table("documents"))
     return search_phrase(postings, PHRASE_TERMS)
+
+
+_TRENDING_ORACLE = """
+WITH parsed AS (
+  SELECT date_trunc('hour', ts) AS ws,
+         CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events
+), counts AS (
+  SELECT ws, k, count(*) AS cnt FROM parsed GROUP BY ws, k
+), ranked AS (
+  SELECT ws, k, cnt,
+         row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, k ASC) AS rn
+  FROM counts
+)
+SELECT ws, k, CAST(cnt AS BIGINT) AS cnt FROM ranked WHERE rn <= 3
+"""
+
+
+@register("events_trending_props", _TRENDING_ORACLE)
+def q_events_trending_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction + windowed top-N: parse the JSON ``props``
+    column JVM-side (get_json_object — no Python), count per (1-hour
+    event-time window, prop value), then EXACT top-3 per window via the
+    two-pass histogram selection (operators/selection.py) — no per-window
+    global sort, so a hot hour never serializes through one reducer."""
+    from locus_spark.operators.selection import top_n_per_group
+
+    derived.register_base_tables(spark, sf_dir)
+    counts = (
+        spark.table("events")
+        .select(
+            F.window("ts", "1 hour").start.alias("ws"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("ws", "k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = top_n_per_group(
+        counts, group_col="ws", order_col="cnt", n=3, id_col="k",
+        lo=0.0, hi=100000.0,
+    )
+    return out.select("ws", "k", "cnt")
 
 
 def _pmi_oracle() -> str:
