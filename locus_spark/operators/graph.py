@@ -142,8 +142,17 @@ def pagerank(
     iterations: int = PR_ITERATIONS,
     tol: float | None = None,
     edges_are_weighted: bool = False,
+    teleport_col: str | None = None,
 ) -> DataFrame:
     """(v, pr) after ``iterations`` damped power-iteration rounds.
+
+    With ``teleport_col``, runs PERSONALIZED PageRank (random walk with
+    restart): ``nodes`` carries a per-node teleport probability column
+    (summing to 1 over the graph — e.g. ``1/|S|`` on a seed set, 0
+    elsewhere); the walk restarts into that distribution instead of the
+    uniform one, and ranks are initialized from it.  Same loop, same
+    shuffle shape — the teleport column just rides the |V|-row node frame
+    the round join already touches.
 
     ``nodes`` must have column ``v`` (every vertex, including ones with no
     in-links — they receive the teleport mass ``(1-d)/N``), ``edges``
@@ -159,11 +168,14 @@ def pagerank(
     UNTOUCHED (no lineage truncation: a bucketed scan already reads
     materialized co-located files, and wrapping it would discard its
     HashPartitioning and reintroduce the per-round edge shuffle)."""
-    base = (1.0 - damping) / float(n_nodes)
+    if teleport_col is None:
+        base_expr = F.lit((1.0 - damping) / float(n_nodes))
+        init_expr = F.lit(1.0) / F.lit(float(n_nodes))
+    else:
+        base_expr = F.lit(1.0 - damping) * F.col(teleport_col)
+        init_expr = F.col(teleport_col)
     edges_w = edges if edges_are_weighted else _truncate_lineage(weight_edges(edges))
-    ranks = _truncate_lineage(
-        nodes.select("v", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r"))
-    )
+    ranks = _truncate_lineage(nodes.select("v", init_expr.alias("r")))
     for _ in range(iterations):
         contrib = round_contrib(edges_w, ranks)
         stepped = (
@@ -171,7 +183,7 @@ def pagerank(
             .select(
                 "v",
                 (
-                    F.lit(base)
+                    base_expr
                     + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
                 ).alias("r"),
             )
@@ -196,11 +208,16 @@ def pagerank_oracle_sql(
     damping: float = PR_DAMPING,
     n_links: int = PR_OUT_LINKS,
     iterations: int = PR_ITERATIONS,
+    seed_mod: int | None = None,
 ) -> str:
     """DuckDB SQL unrolling the fixed-round power iteration with the EXACT
     expression shapes of ``pagerank`` over ``derive_links`` — parameter
     literals CAST to DOUBLE so DuckDB's decimal arithmetic never diverges
-    from Spark's double math; results compare at 6-decimal rounding."""
+    from Spark's double math; results compare at 6-decimal rounding.
+
+    With ``seed_mod`` the unrolled iteration is the PERSONALIZED variant:
+    teleport mass ``1/|S|`` on the seed set ``v % seed_mod == 0``, zero
+    elsewhere (mirroring ``teleport_col``)."""
     link_selects = "\n  UNION ALL ".join(
         f"SELECT v AS src, (('0x' || substr(md5('L{i}:' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % nn.ni) AS dst FROM nodes CROSS JOIN nn"
         for i in range(n_links)
@@ -212,16 +229,36 @@ def pagerank_oracle_sql(
         "outdeg AS (SELECT src, count(*) AS _od FROM links GROUP BY src)",
         "ew AS (SELECT links.src, links.dst, CAST(1.0 AS DOUBLE) / outdeg._od AS w"
         " FROM links JOIN outdeg USING (src))",
-        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)",
     ]
     base_lit = repr((1.0 - damping))
+    if seed_mod is None:
+        ctes.append(
+            "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS r"
+            " FROM nodes CROSS JOIN nn)"
+        )
+        base_term = f"CAST({base_lit} AS DOUBLE) / nn.n"
+        extra_from = "CROSS JOIN nn"
+    else:
+        ctes.append(
+            "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes"
+            f" WHERE v % {seed_mod} = 0)"
+        )
+        p_case = (
+            f"CASE WHEN nodes.v % {seed_mod} = 0"
+            " THEN CAST(1.0 AS DOUBLE) / ns.n ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        ctes.append(
+            f"r0 AS (SELECT nodes.v, {p_case} AS r FROM nodes CROSS JOIN ns)"
+        )
+        base_term = f"CAST({base_lit} AS DOUBLE) * ({p_case})"
+        extra_from = "CROSS JOIN ns"
     for t in range(1, iterations + 1):
         ctes.append(
             f"""r{t} AS (
   SELECT nodes.v,
-         CAST({base_lit} AS DOUBLE) / nn.n
+         {base_term}
          + CAST({damping!r} AS DOUBLE) * coalesce(c._s, CAST(0.0 AS DOUBLE)) AS r
-  FROM nodes CROSS JOIN nn
+  FROM nodes {extra_from}
   LEFT JOIN (SELECT ew.dst AS v, sum(p.r * ew.w) AS _s
              FROM ew JOIN r{t - 1} p ON p.v = ew.src GROUP BY ew.dst) c
     ON c.v = nodes.v

@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "doc_search_phrase",
     "doc_pmi_collocations",
     "events_trending_props",
+    "doc_pagerank_personalized",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2934,6 +2935,44 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("v"))
     edges = derive_links(docs, n)
     out = pagerank(nodes, edges, n)
+    return out.select(
+        F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
+    )
+
+
+#: personalized-PageRank seed rule for the driver row: every 50th doc
+PPR_SEED_MOD = 50
+
+
+def _ppr_oracle() -> str:
+    from locus_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(seed_mod=PPR_SEED_MOD)
+
+
+@register("doc_pagerank_personalized", _ppr_oracle())
+def q_doc_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart into a seed set —
+    every 50th doc): identical loop and shuffle shape as `doc_pagerank`,
+    the per-node teleport probability just rides the |V|-row node frame
+    the round join already touches (operators/graph.py teleport_col)."""
+    from locus_spark.operators.graph import derive_links, pagerank
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    n_seeds = docs.filter(F.col("doc_id") % PPR_SEED_MOD == 0).count()
+    nodes = docs.select(
+        F.col("doc_id").alias("v"),
+        F.when(
+            F.col("doc_id") % PPR_SEED_MOD == 0,
+            F.lit(1.0) / F.lit(float(n_seeds)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+    )
+    edges = derive_links(docs, n)
+    out = pagerank(nodes, edges, n, teleport_col="p")
     return out.select(
         F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
     )

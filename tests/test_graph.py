@@ -132,3 +132,35 @@ def test_pagerank_round_agg_is_partial(spark):
     )
     assert plan.count("HashAggregate") >= 2  # partial + final pair
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_personalized_pagerank_teleports_to_seeds(spark):
+    nodes_plain, edges, elist = _graph(spark)
+    d, iters, n = PR_DAMPING, 10, 5
+    # seed set {0}: all teleport mass restarts at node 0
+    nodes = nodes_plain.select(
+        "v", F.when(F.col("v") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("p")
+    )
+    got = {
+        r["v"]: r["r"]
+        for r in pagerank(
+            nodes, edges, n, d, iters, teleport_col="p"
+        ).collect()
+    }
+
+    import numpy as np  # noqa: F811
+
+    outdeg = {u: sum(1 for s, _ in elist if s == u) for u in range(n)}
+    p = np.array([1.0, 0, 0, 0, 0])
+    r = p.copy()
+    for _ in range(iters):
+        nxt = (1.0 - d) * p
+        for u, v in elist:
+            nxt[v] += d * r[u] / outdeg[u]
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    # node 4 is unreachable from seed 0 and not a seed: rank exactly 0
+    assert got[4] == 0.0
+    # seed keeps the restart mass: strictly the largest rank
+    assert got[0] == max(got.values())
