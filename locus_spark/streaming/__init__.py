@@ -7,4 +7,7 @@ watermark for late data.  Tested with ``trigger(availableNow=True)`` against
 the batch plan's result.
 """
 
-from locus_spark.streaming.windowed import hourly_event_stream  # noqa: F401
+from locus_spark.streaming.windowed import (  # noqa: F401
+    hourly_event_stream,
+    trending_props_stream,
+)

@@ -42,3 +42,37 @@ def hourly_event_stream(
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n", "n_users_approx")
     )
+
+
+def trending_props_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming (hour, prop-value) counts from the JSON ``props`` column —
+    the incremental half of ``queries.q_events_trending_props``.
+
+    A top-N RANK is not incrementally emittable: a window's ranking can
+    change on every late arrival until the watermark closes it, so the
+    streaming stage maintains only the additive (window, k) counts (bounded
+    state: watermark expires windows) and the exact top-3 is applied at
+    serve time over the sink with the same two-pass histogram selection the
+    batch query uses — rank-at-read over finalized counts, the standard
+    streaming-TopN split.  Batch equivalence + late-data replay pinned in
+    tests/test_streaming_multimodal.py::test_trending_stream_matches_batch_topn.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "k", "cnt")
+    )

@@ -360,3 +360,53 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
 
     batch = dedup_events_batch(spark.createDataFrame(b1 + b2, schema))
     assert {r.event_id for r in batch.collect()} == got
+
+
+def test_trending_stream_matches_batch_topn(spark, tmp_path):
+    """Replay the events table through the watermarked (window, k) count
+    stream, then apply the batch top-3 selection over the sink — the
+    rank-at-read split must equal the all-batch trending query."""
+    from locus_spark.operators.selection import top_n_per_group
+    from locus_spark.streaming import trending_props_stream
+
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    stream_df = trending_props_stream(spark, src)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("trending_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    # cut the MemorySink lineage: the two-pass selection self-joins its
+    # input, and two scans of the same in-memory sink plan share attribute
+    # ids (Conflicting attributes analysis error) without this
+    sink = spark.table("trending_counts_test").localCheckpoint(eager=True)
+    got = {
+        (r.ws, r.k): r.cnt
+        for r in top_n_per_group(
+            sink, group_col="ws", order_col="cnt", n=3, id_col="k",
+            lo=0.0, hi=100000.0,
+        ).collect()
+    }
+
+    batch_counts = (
+        spark.read.parquet(src)
+        .select(
+            F.window("ts", "1 hour").start.alias("ws"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("ws", "k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {
+        (r.ws, r.k): r.cnt
+        for r in top_n_per_group(
+            batch_counts, group_col="ws", order_col="cnt", n=3, id_col="k",
+            lo=0.0, hi=100000.0,
+        ).collect()
+    }
+    assert got == want and got
