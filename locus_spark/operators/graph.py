@@ -143,6 +143,7 @@ def pagerank(
     tol: float | None = None,
     edges_are_weighted: bool = False,
     teleport_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """(v, pr) after ``iterations`` damped power-iteration rounds.
 
@@ -167,7 +168,16 @@ def pagerank(
     directly — typically a ``prepare_edges_bucketed`` scan, which is left
     UNTOUCHED (no lineage truncation: a bucketed scan already reads
     materialized co-located files, and wrapping it would discard its
-    HashPartitioning and reintroduce the per-round edge shuffle)."""
+    HashPartitioning and reintroduce the per-round edge shuffle).
+
+    With ``init_ranks`` (columns v, r) iteration WARM-STARTS from a prior
+    snapshot's ranks instead of the teleport distribution — the
+    incremental-maintenance path: after a delta of edges lands, the old
+    fixpoint is already near the new one, so a handful of rounds
+    re-converges where a cold start pays the full O(log) schedule.  The
+    damped iteration contracts toward the unique fixpoint from ANY
+    starting vector, so warm-starting affects round count, never the
+    answer."""
     if teleport_col is None:
         base_expr = F.lit((1.0 - damping) / float(n_nodes))
         init_expr = F.lit(1.0) / F.lit(float(n_nodes))
@@ -175,7 +185,10 @@ def pagerank(
         base_expr = F.lit(1.0 - damping) * F.col(teleport_col)
         init_expr = F.col(teleport_col)
     edges_w = edges if edges_are_weighted else _truncate_lineage(weight_edges(edges))
-    ranks = _truncate_lineage(nodes.select("v", init_expr.alias("r")))
+    if init_ranks is not None:
+        ranks = _truncate_lineage(init_ranks.select("v", "r"))
+    else:
+        ranks = _truncate_lineage(nodes.select("v", init_expr.alias("r")))
     for _ in range(iterations):
         contrib = round_contrib(edges_w, ranks)
         stepped = (
@@ -271,12 +284,79 @@ def pagerank_oracle_sql(
     )
 
 
+def pagerank_incremental_oracle_sql(
+    damping: float = PR_DAMPING,
+    base_links: int = PR_OUT_LINKS,
+    delta_links: int = 1,
+    full_iterations: int = PR_ITERATIONS,
+    warm_iterations: int = 3,
+) -> str:
+    """DuckDB SQL for the warm-start path: unroll ``full_iterations``
+    rounds over the base ``base_links``-per-doc graph, then
+    ``warm_iterations`` rounds over the grown graph
+    (``base_links + delta_links`` per doc) STARTING from the base
+    fixpoint — the exact mirror of ``pagerank(init_ranks=...)`` after a
+    delta of derived edges lands."""
+
+    def link_cte(name: str, n_links: int) -> str:
+        sels = "\n  UNION ALL ".join(
+            f"SELECT v AS src, (('0x' || substr(md5('L{i}:' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % nn.ni) AS dst FROM nodes CROSS JOIN nn"
+            for i in range(n_links)
+        )
+        return f"{name} AS (\n  {sels}\n)"
+
+    def weight_ctes(links: str, tag: str) -> list[str]:
+        return [
+            f"outdeg{tag} AS (SELECT src, count(*) AS _od FROM {links} GROUP BY src)",
+            f"ew{tag} AS (SELECT {links}.src, {links}.dst,"
+            f" CAST(1.0 AS DOUBLE) / outdeg{tag}._od AS w"
+            f" FROM {links} JOIN outdeg{tag} USING (src))",
+        ]
+
+    def round_cte(name: str, prev: str, ew: str) -> str:
+        base_lit = repr((1.0 - damping))
+        return f"""{name} AS (
+  SELECT nodes.v,
+         CAST({base_lit} AS DOUBLE) / nn.n
+         + CAST({damping!r} AS DOUBLE) * coalesce(c._s, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT {ew}.dst AS v, sum(p.r * {ew}.w) AS _s
+             FROM {ew} JOIN {prev} p ON p.v = {ew}.src GROUP BY {ew}.dst) c
+    ON c.v = nodes.v
+)"""
+
+    ctes = [
+        "nodes AS (SELECT doc_id AS v FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM nodes)",
+        link_cte("linksa", base_links),
+        link_cte("linksb", base_links + delta_links),
+        *weight_ctes("linksa", "a"),
+        *weight_ctes("linksb", "b"),
+        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for t in range(1, full_iterations + 1):
+        ctes.append(round_cte(f"r{t}", prev, "ewa"))
+        prev = f"r{t}"
+    for t in range(1, warm_iterations + 1):
+        ctes.append(round_cte(f"s{t}", prev, "ewb"))
+        prev = f"s{t}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS doc_id, round(r, 6) AS pr FROM {prev}"
+    )
+
+
 __all__ = [
     "PR_DAMPING",
     "PR_OUT_LINKS",
     "PR_ITERATIONS",
     "derive_links",
+    "weight_edges",
+    "prepare_edges_bucketed",
     "round_contrib",
     "pagerank",
     "pagerank_oracle_sql",
+    "pagerank_incremental_oracle_sql",
 ]

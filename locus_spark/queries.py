@@ -105,6 +105,7 @@ _CHECK_FIRST = [
     "doc_pmi_collocations",
     "events_trending_props",
     "doc_pagerank_personalized",
+    "doc_pagerank_incremental",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2973,6 +2974,39 @@ def q_doc_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = derive_links(docs, n)
     out = pagerank(nodes, edges, n, teleport_col="p")
+    return out.select(
+        F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
+    )
+
+
+def _pr_incr_oracle() -> str:
+    from locus_spark.operators.graph import pagerank_incremental_oracle_sql
+
+    return pagerank_incremental_oracle_sql()
+
+
+@register("doc_pagerank_incremental", _pr_incr_oracle())
+def q_doc_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank after a link-graph delta: converge the base
+    3-link graph (10 rounds), land one extra derived link per doc, then
+    re-converge in 3 warm rounds FROM the old fixpoint (graph.py
+    init_ranks) — the incremental-maintenance path; damped iteration
+    contracts from any start, so warm-starting trades round count, never
+    correctness."""
+    from locus_spark.operators.graph import derive_links, pagerank
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    ranks_a = pagerank(nodes, derive_links(docs, n, n_links=3), n)
+    out = pagerank(
+        nodes,
+        derive_links(docs, n, n_links=4),
+        n,
+        iterations=3,
+        init_ranks=ranks_a,
+    )
     return out.select(
         F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
     )

@@ -164,3 +164,41 @@ def test_personalized_pagerank_teleports_to_seeds(spark):
     assert got[4] == 0.0
     # seed keeps the restart mass: strictly the largest rank
     assert got[0] == max(got.values())
+
+
+def test_warm_start_converges_faster_than_cold(spark):
+    """After a small edge delta, 3 warm rounds from the old fixpoint land
+    closer to the new fixpoint than 3 cold rounds — and both reach the
+    same fixpoint given enough rounds (contraction from any start)."""
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    edges_a = derive_links(docs, 60, n_links=3)
+    edges_b = derive_links(docs, 60, n_links=4)  # +1 link per doc
+
+    ranks_a = pagerank(nodes, edges_a, 60, iterations=20)
+    fix_b = {
+        r["v"]: r["r"]
+        for r in pagerank(nodes, edges_b, 60, iterations=40).collect()
+    }
+
+    warm = {
+        r["v"]: r["r"]
+        for r in pagerank(
+            nodes, edges_b, 60, iterations=3, init_ranks=ranks_a
+        ).collect()
+    }
+    cold = {
+        r["v"]: r["r"]
+        for r in pagerank(nodes, edges_b, 60, iterations=3).collect()
+    }
+    warm_err = max(abs(warm[v] - fix_b[v]) for v in fix_b)
+    cold_err = max(abs(cold[v] - fix_b[v]) for v in fix_b)
+    assert warm_err < cold_err
+    # warm-start with MANY rounds reaches the same fixpoint
+    deep = {
+        r["v"]: r["r"]
+        for r in pagerank(
+            nodes, edges_b, 60, iterations=40, init_ranks=ranks_a
+        ).collect()
+    }
+    assert all(abs(deep[v] - fix_b[v]) < 1e-10 for v in fix_b)
