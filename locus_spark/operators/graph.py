@@ -217,6 +217,137 @@ def pagerank(
     return ranks.select("v", "r")
 
 
+def undirect_edges(edges: DataFrame) -> DataFrame:
+    """(a, b) canonical undirected edge set: self-loops dropped, each pair
+    oriented ``a < b``, parallel edges collapsed — the simple-graph view
+    triangle counting is defined over."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected simple graph of ``edges`` (src, dst).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW'11 "Counting triangles and the curse of the last reducer"): every
+    undirected edge is directed from its lower-``(deg, id)`` endpoint to
+    the higher, wedges are enumerated only at each edge's LOWER endpoint,
+    and a wedge (v, w) closes a triangle iff the oriented edge v→w exists.
+    Each triangle is found exactly once (at its minimum-rank vertex).
+
+    Scale shape: orientation bounds every node's wedge fan-out by its
+    oriented out-degree ≤ O(sqrt(|E|)) — a celebrity page with 10^7
+    in-links contributes NO wedges from its own adjacency (its edges all
+    point toward it), so no reducer ever materializes a hub's full
+    neighborhood square.  The plan is three equi-joins + two hash
+    aggregations, all map-side combinable; nothing is all-pairs.
+
+    Returns (v, degree, tri_count, clustering) for nodes with degree >= 2
+    (the coefficient is undefined below that); ``clustering`` is rounded
+    to 6 decimals (pure ratio of exact integers — the rounding is only for
+    cross-engine float-division display parity)."""
+    und = _truncate_lineage(undirect_edges(edges))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = _truncate_lineage(
+        e.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+        )
+    )
+    # wedges centered at u, ordered so (v, w) matches the v->w orientation
+    w1 = oriented.select("u", F.col("w").alias("v"), F.col("dw").alias("dv"))
+    wedges = w1.join(oriented, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v"), "w"), ["v", "w"]
+    ).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(per_node, "v", "left")
+        .select(
+            "v",
+            F.col("deg").alias("degree"),
+            F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("tri_count", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+def triangle_oracle_sql(n_links: int = PR_OUT_LINKS) -> str:
+    """DuckDB mirror of ``triangle_stats`` over ``derive_links``: plain
+    3-way join triangle enumeration on the canonical a<b edge set (every
+    triangle appears exactly once as x<y<z), identical float-division +
+    6-decimal rounding for the coefficient."""
+    link_selects = "\n  UNION ALL ".join(
+        f"SELECT v AS src, (('0x' || substr(md5('L{i}:' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % nn.ni) AS dst FROM nodes CROSS JOIN nn"
+        for i in range(n_links)
+    )
+    return f"""
+WITH nodes AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT count(*) AS ni FROM nodes),
+links AS (
+  {link_selects}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM links WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT v, count(*) AS tri_count
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri)
+  GROUP BY v
+)
+SELECT deg.v AS doc_id, deg.deg AS degree,
+       coalesce(per_node.tri_count, 0) AS tri_count,
+       round(2.0 * coalesce(per_node.tri_count, 0)
+             / (deg.deg * (deg.deg - 1)), 6) AS clustering
+FROM deg LEFT JOIN per_node ON per_node.v = deg.v
+WHERE deg.deg >= 2
+"""
+
+
 def pagerank_oracle_sql(
     damping: float = PR_DAMPING,
     n_links: int = PR_OUT_LINKS,
@@ -281,6 +412,126 @@ def pagerank_oracle_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS doc_id, round(r, 6) AS pr FROM r{iterations}"
+    )
+
+
+#: fixed HITS iteration count for oracle-deterministic runs.
+HITS_ITERATIONS = 8
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+) -> DataFrame:
+    """(v, hub, auth) after ``iterations`` rounds of Kleinberg's HITS
+    (JACM '99) with SUM (L1) normalization each half-step::
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u)   then  a_t /= Σ a_t
+        h_t(v) = Σ_{v→w} a_t(w)       then  h_t /= Σ h_t
+
+    L1 normalization (vs the paper's L2) changes only the fixpoint's
+    scale, not the ranking — and it keeps the per-round normalizer a
+    plain ``sum`` aggregate both engines compute bit-identically (no
+    cross-engine ``sqrt``).
+
+    Scale shape: identical to the PageRank loop — each half-step is one
+    key-partitioned join (scores |V| x edges |E|) + one map-side-combined
+    ``groupBy.sum``; the normalizer is a scalar aggregate (collected to
+    the driver — one double per half-step, never data).  Round state is
+    lineage-truncated.  At production scale the edge frame belongs in a
+    src- AND dst-bucketed pair of tables (the loop joins on both ends).
+
+    Scores round to 6 decimals at the END only; per-round sums stay raw
+    double (the oracle unrolls the identical raw-double recurrence)."""
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    e = _truncate_lineage(edges.select("src", "dst"))
+    state = _truncate_lineage(
+        nodes.select("v", F.lit(1.0).alias("h"))
+    )
+    for _ in range(iterations):
+        a_raw = (
+            e.join(state.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_sum = a_raw.agg(F.sum("a")).first()[0]
+        auth = nodes.join(
+            a_raw.withColumnRenamed("dst", "v"), "v", "left"
+        ).select(
+            "v", (F.coalesce("a", F.lit(0.0)) / F.lit(float(a_sum))).alias("a")
+        )
+        auth = _truncate_lineage(auth)
+        h_raw = (
+            e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_sum = h_raw.agg(F.sum("h")).first()[0]
+        state = _truncate_lineage(
+            nodes.join(h_raw.withColumnRenamed("src", "v"), "v", "left").select(
+                "v",
+                (F.coalesce("h", F.lit(0.0)) / F.lit(float(h_sum))).alias("h"),
+            )
+        )
+        last_auth = auth
+    return state.join(last_auth, "v").select(
+        "v", F.round("h", 6).alias("hub"), F.round("a", 6).alias("auth")
+    )
+
+
+def hits_oracle_sql(
+    n_links: int = PR_OUT_LINKS, iterations: int = HITS_ITERATIONS
+) -> str:
+    """DuckDB SQL unrolling the exact L1-normalized HITS recurrence of
+    :func:`hits` over ``derive_links`` (raw-double sums per round, single
+    6-decimal rounding at the end)."""
+    link_selects = "\n  UNION ALL ".join(
+        f"SELECT v AS src, (('0x' || substr(md5('L{i}:' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % nn.ni) AS dst FROM nodes CROSS JOIN nn"
+        for i in range(n_links)
+    )
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB otherwise
+    # inlines each reference, and the sum-CTE + join double-reference per
+    # half-round makes the expansion tree exponential in the round count
+    # (it exhausts file descriptors before it exhausts memory)
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+        "nn AS (SELECT count(*) AS ni FROM nodes)",
+        f"links AS MATERIALIZED (\n  {link_selects}\n)",
+        "h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"araw{t} AS MATERIALIZED (SELECT links.dst AS v, sum(p.h) AS a"
+            f" FROM links JOIN {prev_h} p ON p.v = links.src GROUP BY links.dst)"
+        )
+        ctes.append(f"asum{t} AS (SELECT sum(a) AS s FROM araw{t})")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT nodes.v,"
+            f" coalesce(araw{t}.a, CAST(0.0 AS DOUBLE)) / asum{t}.s AS a"
+            f" FROM nodes CROSS JOIN asum{t}"
+            f" LEFT JOIN araw{t} ON araw{t}.v = nodes.v)"
+        )
+        ctes.append(
+            f"hraw{t} AS MATERIALIZED (SELECT links.src AS v, sum(q.a) AS h"
+            f" FROM links JOIN a{t} q ON q.v = links.dst GROUP BY links.src)"
+        )
+        ctes.append(f"hsum{t} AS (SELECT sum(h) AS s FROM hraw{t})")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT nodes.v,"
+            f" coalesce(hraw{t}.h, CAST(0.0 AS DOUBLE)) / hsum{t}.s AS h"
+            f" FROM nodes CROSS JOIN hsum{t}"
+            f" LEFT JOIN hraw{t} ON hraw{t}.v = nodes.v)"
+        )
+        prev_h = f"h{t}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h{iterations}.v AS doc_id, round(h{iterations}.h, 6) AS hub,"
+        f" round(a{iterations}.a, 6) AS auth"
+        f"\nFROM h{iterations} JOIN a{iterations} ON a{iterations}.v = h{iterations}.v"
     )
 
 
@@ -359,4 +610,10 @@ __all__ = [
     "pagerank",
     "pagerank_oracle_sql",
     "pagerank_incremental_oracle_sql",
+    "undirect_edges",
+    "triangle_stats",
+    "triangle_oracle_sql",
+    "HITS_ITERATIONS",
+    "hits",
+    "hits_oracle_sql",
 ]

@@ -106,6 +106,8 @@ _CHECK_FIRST = [
     "events_trending_props",
     "doc_pagerank_personalized",
     "doc_pagerank_incremental",
+    "doc_triangles",
+    "doc_hits",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -3010,6 +3012,51 @@ def q_doc_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
     )
+
+
+def _triangle_oracle() -> str:
+    from locus_spark.operators.graph import triangle_oracle_sql
+
+    return triangle_oracle_sql()
+
+
+@register("doc_triangles", _triangle_oracle())
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    derived link graph via degree-ordered edge orientation (Suri &
+    Vassilvitskii WWW'11) — wedges enumerate only at each edge's lower-
+    degree endpoint, so no hub ever materializes its neighborhood square
+    (operators/graph.py:triangle_stats; oracle = plain 3-way-join triangle
+    enumeration on the canonical a<b edge set)."""
+    from locus_spark.operators.graph import derive_links, triangle_stats
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    out = triangle_stats(derive_links(docs, n))
+    return out.withColumnRenamed("v", "doc_id")
+
+
+def _hits_oracle() -> str:
+    from locus_spark.operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql()
+
+
+@register("doc_hits", _hits_oracle())
+def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the derived link graph: 8 L1-normalized
+    rounds, each half-step one key-partitioned join + map-side-combined
+    sum, normalizer a scalar aggregate (one double to the driver per
+    half-step, never data) — operators/graph.py:hits; oracle = fully
+    unrolled DuckDB CTE of the identical raw-double recurrence."""
+    from locus_spark.operators.graph import derive_links, hits
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    return hits(nodes, derive_links(docs, n)).withColumnRenamed("v", "doc_id")
 
 
 _ASOF_ORACLE = """

@@ -202,3 +202,72 @@ def test_warm_start_converges_faster_than_cold(spark):
         ).collect()
     }
     assert all(abs(deep[v] - fix_b[v]) < 1e-10 for v in fix_b)
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    from locus_spark.operators.graph import triangle_stats
+
+    # fixture with hubs, multi-edges, self-loops, and asymmetric direction
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 0), (3, 1),
+        (4, 4), (4, 0), (5, 0), (5, 1), (6, 2), (6, 3), (2, 3),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: (r["degree"], r["tri_count"], r["clustering"])
+        for r in triangle_stats(e).collect()
+    }
+
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = sorted({v for p in und for v in p})
+    adj = {v: {b if a == v else a for a, b in und if v in (a, b)} for v in nodes}
+    for v in nodes:
+        deg = len(adj[v])
+        tri = sum(
+            1
+            for a, b in und
+            if a in adj[v] and b in adj[v] and a != v and b != v
+        )
+        if deg >= 2:
+            assert got[v] == (deg, tri, round(2.0 * tri / (deg * (deg - 1)), 6)), v
+        else:
+            assert v not in got, v
+
+
+def test_triangle_stats_hub_fanout_is_degree_bounded(spark):
+    """A star (hub with many leaves) has zero triangles and, with degree
+    orientation, the hub contributes ZERO wedges — every star edge points
+    leaf->hub, so no reducer sees the hub's neighborhood square."""
+    from locus_spark.operators.graph import triangle_stats, undirect_edges
+
+    star = [(100, i) for i in range(50)] + [(0, 1)]
+    e = spark.createDataFrame(star, "src long, dst long")
+    rows = triangle_stats(e).collect()
+    hub = [r for r in rows if r["v"] == 100][0]
+    assert hub["degree"] == 50 and hub["tri_count"] == 1  # 0-1-100 closes
+    assert undirect_edges(e).count() == 51
+
+
+def test_hits_matches_numpy(spark):
+    from locus_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    got = {r["v"]: (r["hub"], r["auth"]) for r in hits(n, e, iterations=8).collect()}
+
+    h = np.ones(5)
+    for _ in range(8):
+        a = np.zeros(5)
+        for s, d in edges:
+            a[d] += h[s]
+        a /= a.sum()
+        h2 = np.zeros(5)
+        for s, d in edges:
+            h2[s] += a[d]
+        h = h2 / h2.sum()
+    for v in range(5):
+        assert abs(got[v][0] - round(h[v], 6)) < 2e-6, (v, got[v], h[v])
+        assert abs(got[v][1] - round(a[v], 6)) < 2e-6, (v, got[v], a[v])
+    # node 4 points at 0 but nothing points at 4: authority exactly zero
+    assert got[4][1] == 0.0
