@@ -382,3 +382,111 @@ CROSS JOIN nu
 ORDER BY pmi DESC, bg ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+#: reference-corpus rule for the driver query: every 5th document trains
+#: the model (the stand-in for "train KenLM on Wikipedia" — CCNet,
+#: Wenzek et al. LREC'20); ALL documents are scored against it.
+LM_REF_MOD = 5
+
+
+def bigram_lm_scores(
+    documents: DataFrame,
+    ref: DataFrame,
+    k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-``k``-smoothed
+    bigram model trained on ``ref`` — the CCNet-style LM quality signal
+    (higher = more reference-like; perplexity is ``exp(-lm_score)``, left
+    to the caller because cross-engine ``exp`` is not bit-reproducible).
+
+    Model: ``P(w | u) = (c(u,w) + k) / (c(u·) + k·V)`` with ``V`` =
+    distinct reference tokens + 1 (the OOV bucket); unseen bigrams and
+    unseen left-contexts fall through the same formula via count 0.
+
+    Scale shape: bigrams are built inside each document row (array
+    transform — no positional self-join, same machinery as PMI); the
+    model is two count tables over the REFERENCE corpus only (map-side
+    combinable aggs); scoring is two left equi-joins of the corpus bigram
+    stream against those tables keyed by bigram / left token, then one
+    per-doc hash aggregation.  The model tables are vocabulary-sized, not
+    corpus-sized — at production scale they broadcast (a pruned KenLM is
+    exactly this shape), so the corpus-side stream never shuffles for the
+    lookup; the only corpus-keyed shuffle is the final per-doc agg.
+
+    Returns (doc_id, n_bigrams, lm_score) for documents with >= 1 bigram;
+    ``lm_score`` is rounded to 6 decimals (sums of ~60 bounded doubles —
+    reorder drift ~1e-13, far inside the rounding quantum; same contract
+    as PageRank's contribution sums)."""
+    ref_bg = ref.select(F.explode(_bigrams(text_col)).alias("bg"))
+    cb = ref_bg.groupBy("bg").agg(F.count("*").alias("_cb"))
+    cu = (
+        ref_bg.select(F.split("bg", " ")[0].alias("_u"))
+        .groupBy("_u")
+        .agg(F.count("*").alias("_cu"))
+    )
+    vocab = (
+        ref.select(F.explode(_tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+        + 1
+    )
+    doc_bg = documents.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+    ).withColumn("_u", F.split("bg", " ")[0])
+    logp = F.log(
+        (F.coalesce("_cb", F.lit(0)) + F.lit(float(k)))
+        / (F.coalesce("_cu", F.lit(0)) + F.lit(float(k) * vocab))
+    )
+    return (
+        doc_bg.join(cb, "bg", "left")
+        .join(cu, "_u", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count("*"), 6).alias("lm_score"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(ref_mod: int = LM_REF_MOD, k: float = 1.0) -> str:
+    """DuckDB mirror of ``bigram_lm_scores`` with the driver query's
+    every-``ref_mod``-th-doc reference rule and identical double
+    arithmetic (coalesced BIGINT counts + DOUBLE literals, ln, one
+    6-decimal rounding)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), refbg AS MATERIALIZED (
+  SELECT unnest(list_transform(generate_series(2, len(ts)),
+                               i -> ts[i-1] || ' ' || ts[i])) AS bg
+  FROM toks WHERE doc_id % {ref_mod} = 0
+), vocab AS (
+  SELECT CAST(count(DISTINCT t) + 1 AS DOUBLE) AS v
+  FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % {ref_mod} = 0)
+), cb AS (
+  SELECT bg, count(*) AS cb FROM refbg GROUP BY bg
+), cu AS (
+  SELECT string_split(bg, ' ')[1] AS u, count(*) AS cu FROM refbg GROUP BY u
+), docbg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(2, len(ts)),
+                                       i -> ts[i-1] || ' ' || ts[i])) AS bg
+  FROM toks
+)
+SELECT docbg.doc_id AS doc_id, count(*) AS n_bigrams,
+       round(sum(ln((coalesce(cb.cb, 0) + CAST({float(k)!r} AS DOUBLE))
+                    / (coalesce(cu.cu, 0) + CAST({float(k)!r} AS DOUBLE) * vocab.v)))
+             / count(*), 6) AS lm_score
+FROM docbg
+LEFT JOIN cb ON cb.bg = docbg.bg
+LEFT JOIN cu ON cu.u = string_split(docbg.bg, ' ')[1]
+CROSS JOIN vocab
+GROUP BY docbg.doc_id
+"""

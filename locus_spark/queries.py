@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "doc_pagerank_incremental",
     "doc_triangles",
     "doc_hits",
+    "doc_lm_score",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -3012,6 +3013,28 @@ def q_doc_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
     )
+
+
+def _lm_oracle() -> str:
+    from locus_spark.operators.textops import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql()
+
+
+@register("doc_lm_score", _lm_oracle())
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: every 5th document trains an
+    add-1-smoothed bigram model; ALL documents are scored by mean bigram
+    log-likelihood under it (perplexity filtering = thresholding this
+    score).  Model tables are vocabulary-sized (broadcastable at scale);
+    the corpus-side bigram stream takes two left lookups + one per-doc
+    agg (operators/textops.py:bigram_lm_scores)."""
+    from locus_spark.operators.textops import LM_REF_MOD, bigram_lm_scores
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    ref = docs.filter(F.col("doc_id") % LM_REF_MOD == 0)
+    return bigram_lm_scores(docs, ref)
 
 
 def _triangle_oracle() -> str:

@@ -171,3 +171,41 @@ def test_pmi_collocations_hand_computed(spark):
     assert got["y x"] == (2, pmi(2, "y", "x"))
     # ranking: higher PMI first
     assert out[0]["bg"] == "x y"
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-1 bigram model trained on doc 0; docs 1-3 scored against it,
+    including unseen-bigram and unseen-context fallthrough."""
+    import math
+
+    from locus_spark.operators.textops import bigram_lm_scores
+
+    rows = [
+        (0, "a b a b c"),   # ref: bigrams ab, ba, ab, bc
+        (1, "a b c"),       # seen bigrams: ab(2), bc(1)
+        (2, "c a"),         # ca unseen, context c seen once (bc -> c? no: c starts 0 bigrams)
+        (3, "q"),           # no bigrams -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter(docs.doc_id == 0)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_scores(docs, ref).collect()
+    }
+    V = 3 + 1  # ref vocab {a, b, c} + OOV bucket
+    cb = {"a b": 2, "b a": 1, "b c": 1}
+    cu = {"a": 2, "b": 2}  # left-context counts over ref bigrams
+
+    def lp(bg):
+        u = bg.split(" ")[0]
+        return math.log((cb.get(bg, 0) + 1.0) / (cu.get(u, 0) + 1.0 * V))
+
+    exp0 = round((lp("a b") + lp("b a") + lp("a b") + lp("b c")) / 4, 6)
+    exp1 = round((lp("a b") + lp("b c")) / 2, 6)
+    exp2 = round(lp("c a") / 1, 6)
+    assert got[0] == (4, exp0)
+    assert got[1] == (2, exp1)
+    assert got[2] == (1, exp2)
+    assert 3 not in got
+    # unseen everything == uniform OOV mass: ln(1/V)
+    assert exp2 == round(math.log(1.0 / V), 6)
