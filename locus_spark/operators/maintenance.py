@@ -153,3 +153,33 @@ def compact(
         "touched": touched,
     }
     return keep.unionByName(rewritten), stats
+
+
+def upsert_serving(
+    base: DataFrame,
+    batch_layout: DataFrame,
+    id_col: str = "id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """MERGE-style serving view: rows of ``batch_layout`` REPLACE base rows
+    with the same ``id_col`` (moved/re-crawled items), new ids append —
+    the lakehouse upsert between compactions, extending the append-only
+    :func:`delta_layout`/:func:`merged_layout` path with deletes.
+
+    Plan shape (deletion-vector semantics): the batch's id set is
+    broadcast and the base takes one ``left_anti`` — a map-side filter of
+    the base scan, no base-sized shuffle and no base rewrite; base files
+    stay untouched exactly like a Delta/Iceberg deletion vector.  The
+    replaced rows' cells may now be EMPTY of live rows — correctness-
+    neutral for every consumer (range/ball joins just match nothing
+    there; the kNN ring planner's settle bound counts covered CELLS, not
+    rows, and empty cells only delay settling, never skip a neighbor).
+
+    ``broadcast_batch=False`` falls back to a shuffle anti-join on the id
+    key for batches beyond broadcast reach (same disclosed fallback
+    contract as dedup.incremental_exact_dedup)."""
+    ids = batch_layout.select(id_col).distinct()
+    if broadcast_batch:
+        ids = F.broadcast(ids)
+    kept = base.join(ids, id_col, "left_anti")
+    return merged_layout(kept, batch_layout)

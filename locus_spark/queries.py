@@ -109,6 +109,7 @@ _CHECK_FIRST = [
     "doc_triangles",
     "doc_hits",
     "doc_lm_score",
+    "kd_knn_upsert",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -386,6 +387,53 @@ def kd_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, delta = _points_base_delta(spark, sf_dir)
     base_layout = cluster_by_hilbert(base, WORLD_GRID, num_partitions=8)
     layout, _ = compact(base_layout, delta_layout(delta, WORLD_GRID))
+    qp = derived.load(spark, sf_dir, "query_points")
+    return knn_join(layout.select("id", "x", "y"), qp, KNN_K, grid=WORLD_GRID)
+
+
+#: upsert rule for the driver row: every id ≡ 7 (mod 10) was re-crawled and
+#: MOVED to (-x/2, -y/2) — multiplication by -0.5 is exact IEEE scaling, so
+#: both engines derive bit-identical moved coordinates.
+_KNN_UPSERT_ORACLE = f"""
+{derived.with_ctes('points', 'query_points')}
+, points_u AS (
+  SELECT id,
+         CASE WHEN id % 10 = 7 THEN x * (-0.5e0) ELSE x END AS x,
+         CASE WHEN id % 10 = 7 THEN y * (-0.5e0) ELSE y END AS y
+  FROM points
+), cand AS (
+  SELECT q.qid AS qid, p.id AS id, p.x AS x, p.y AS y, {_D2_PQ} AS dist2
+  FROM query_points q CROSS JOIN points_u p
+), ranked AS (
+  SELECT qid, id, x, y, dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, id) AS rn
+  FROM cand
+)
+SELECT qid, id, x, y, dist2, rn
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@register("kd_knn_upsert", _KNN_UPSERT_ORACLE)
+def kd_knn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 kNN over a MERGE-style upsert serving view: every 10th point was
+    re-ingested with moved coordinates; the batch REPLACES the base rows
+    by id (broadcast id set → map-side left_anti on the base — deletion-
+    vector semantics, base files untouched) and is served merged.  The
+    oracle is the full-rebuild answer over the post-upsert point set: a
+    serving view that resurrects a replaced row or misses a moved one
+    fails the hash (operators/maintenance.py:upsert_serving)."""
+    from locus_spark.cells import cluster_by_hilbert
+    from locus_spark.operators.maintenance import delta_layout, upsert_serving
+
+    pts = derived.load(spark, sf_dir, "points")
+    base_layout = cluster_by_hilbert(pts, WORLD_GRID, num_partitions=8)
+    moved = pts.filter(F.pmod(F.col("id"), F.lit(10)) == 7).select(
+        "id",
+        (F.col("x") * F.lit(-0.5)).alias("x"),
+        (F.col("y") * F.lit(-0.5)).alias("y"),
+    )
+    layout = upsert_serving(base_layout, delta_layout(moved, WORLD_GRID))
     qp = derived.load(spark, sf_dir, "query_points")
     return knn_join(layout.select("id", "x", "y"), qp, KNN_K, grid=WORLD_GRID)
 

@@ -104,3 +104,36 @@ def test_merged_layout_requires_layout_cols(spark):
     base = cluster_by_hilbert(_points(spark, 10, 9), GRID)
     with pytest.raises(ValueError):
         merged_layout(base, _points(spark, 5, 10))
+
+
+def test_upsert_serving_replaces_by_id_and_stays_broadcast(spark):
+    from locus_spark.operators.maintenance import upsert_serving
+
+    base_rows = _points(spark, 200, seed=0)
+    base = cluster_by_hilbert(base_rows, GRID, num_partitions=4)
+    # re-ingest every 4th id at moved coordinates (+ one brand-new id)
+    moved = base_rows.filter(F.col("id") % 4 == 0).select(
+        "id",
+        (F.col("x") * 0.5).alias("x"),
+        (F.col("y") * 0.5).alias("y"),
+    )
+    new = spark.createDataFrame([(999_999, 1.5, 2.5)], "id long, x double, y double")
+    batch = delta_layout(moved.unionByName(new), GRID)
+    served = upsert_serving(base, batch)
+
+    got = {r["id"]: (r["x"], r["y"]) for r in served.collect()}
+    assert len(got) == 201  # no duplicate ids: replaced, not appended
+    for r in base_rows.collect():
+        if r["id"] % 4 == 0:
+            assert got[r["id"]] == (r["x"] * 0.5, r["y"] * 0.5)
+        else:
+            assert got[r["id"]] == (r["x"], r["y"])
+    assert got[999_999] == (1.5, 2.5)
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # base is never shuffled for the merge
+
+    # shuffle fallback serves the identical view
+    served2 = upsert_serving(base, batch, broadcast_batch=False)
+    assert {tuple(r) for r in served2.collect()} == {tuple(r) for r in served.collect()}
