@@ -110,6 +110,7 @@ _CHECK_FIRST = [
     "doc_hits",
     "doc_lm_score",
     "kd_knn_upsert",
+    "pages_canonical_dedup",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2436,6 +2437,58 @@ def q_pages_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("qid"), "x", "y"
     )
     return knn_join(geo, probes, KNN_K, grid=grid)
+
+
+def _canonical_oracle() -> str:
+    from locus_spark.operators.urls import (
+        DUCK_CANONICAL_TMPL,
+        DUCK_MESSY_TMPL,
+        DUCK_U3_TMPL,
+    )
+
+    messy = DUCK_MESSY_TMPL.format(u="url", id="id")
+    u3 = DUCK_U3_TMPL.format(u="raw")
+    canon = DUCK_CANONICAL_TMPL.format(u3="u3")
+    return f"""
+WITH raw AS (
+  SELECT unnest([url, {messy}]) AS raw
+  FROM read_parquet('{PAGES_DATA_DIR}/*.parquet')
+), pre AS (
+  SELECT raw, {u3} AS u3 FROM raw
+), canon AS (
+  SELECT raw, {canon} AS canonical_url FROM pre
+)
+SELECT canonical_url, count(*) AS n_fetches,
+       CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms,
+       min(raw) AS rep_url
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("pages_canonical_dedup", _canonical_oracle())
+def q_pages_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: each stored page url plus a deterministic
+    fetch-noise variant (uppercased host / explicit :443 / utm+fragment
+    decoration, keyed by id mod 4) is canonicalized — fragment and utm_*
+    stripped, default port dropped, host lowercased — and grouped by the
+    canonical form.  Pure Column projection + one count/min hash agg;
+    duplicate-storm hot keys arrive map-side pre-reduced
+    (operators/urls.py)."""
+    from locus_spark.operators.urls import canonical_url, messy_variant
+
+    geo = _persisted_geocoded_pages(spark).select("id", "url")
+    raw = geo.select(
+        F.explode(
+            F.array(F.col("url"), messy_variant(F.col("url"), F.col("id")))
+        ).alias("raw")
+    )
+    return raw.groupBy(
+        canonical_url(F.col("raw")).alias("canonical_url")
+    ).agg(
+        F.count("*").alias("n_fetches"),
+        F.countDistinct("raw").alias("n_raw_forms"),
+        F.min("raw").alias("rep_url"),
+    )
 
 
 #: host re-derived from the STORED url with the same regex in both engines
