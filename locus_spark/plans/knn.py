@@ -88,6 +88,36 @@ PROBE_CELL_COLS = ("_bcx0", "_bcx1", "_bcy0", "_bcy1")
 PROBE_BBOX_COLS = ("_sx0", "_sx1", "_sy0", "_sy1")
 
 
+def _fresh_stats(df: DataFrame) -> DataFrame:
+    """Rebuild ``df`` (already materialized by a checkpoint) as a fresh
+    scan WITHOUT the origin plan's statistics.
+
+    Load-bearing for every iterative loop in this engine (kNN rings, CC,
+    PageRank, HITS, DBSCAN): a checkpoint otherwise CARRIES the round
+    plan's estimated ``sizeInBytes`` forward, and size-only estimation
+    multiplies child sizes at every join — so a loop whose round joins
+    the state with itself squares the estimate each round.  The BigInt's
+    bit-length then doubles per round, and from ~20 rounds on Catalyst
+    spends its time in BigInteger.multiply inside stats estimation
+    (measured: 0.3 s/round flat → 2 s/round at round 20 doubling to
+    100+ s/round by round 24; flat 0.3 s with the rebuild).  AQE still
+    makes broadcast decisions from RUNTIME sizes, so dropping the
+    estimate costs nothing here.
+
+    Uses ``internalCreateDataFrame`` (public at the bytecode level; the
+    same hook GraphFrames uses for its iteration state).  Falls back to
+    the input unchanged if the JVM hook is unavailable."""
+    try:
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        njdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(njdf, df.sparkSession)
+    except Exception:  # pragma: no cover - depends on Spark internals
+        return df
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize a round's running state and truncate its lineage.
 
@@ -131,7 +161,7 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         mode == "auto" and not sc.master.startswith("local")
     )
     if not reliable:
-        return df.localCheckpoint(eager=True)
+        return _fresh_stats(df.localCheckpoint(eager=True))
     if sc.getCheckpointDir() is None:
         if sc.master.startswith("local"):
             import tempfile
@@ -149,13 +179,13 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
                 RuntimeWarning,
                 stacklevel=2,
             )
-            return df.localCheckpoint(eager=True)
+            return _fresh_stats(df.localCheckpoint(eager=True))
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     out = df.checkpoint(eager=True)
     df.unpersist()
-    return out
+    return _fresh_stats(out)
 
 
 def probe_frame(
