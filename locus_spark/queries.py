@@ -111,6 +111,7 @@ _CHECK_FIRST = [
     "doc_lm_score",
     "kd_knn_upsert",
     "pages_canonical_dedup",
+    "kd_dbscan",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -437,6 +438,38 @@ def kd_knn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = upsert_serving(base_layout, delta_layout(moved, WORLD_GRID))
     qp = derived.load(spark, sf_dir, "query_points")
     return knn_join(layout.select("id", "x", "y"), qp, KNN_K, grid=WORLD_GRID)
+
+
+#: DBSCAN parameters for the driver row: eps sized so the sf0.01 point
+#: cloud (density ~0.023 pts per unit area) forms real multi-point
+#: clusters with plenty of border + noise rows
+DBSCAN_EPS = 8.0
+DBSCAN_MIN_PTS = 5
+
+
+def _dbscan_oracle() -> str:
+    from locus_spark.operators.density import dbscan_oracle_sql
+    from locus_spark.sources.derived import DERIVED
+
+    return dbscan_oracle_sql(
+        f"WITH RECURSIVE points AS ({DERIVED['points']})",
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+    )
+
+
+@register("kd_dbscan", _dbscan_oracle())
+def q_kd_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN over the point cloud: eps-neighbor pairs via a
+    3x3 cell-neighborhood equi-join (cell width == eps — linear shuffle,
+    never a distance cross join), core/border/noise roles, cluster labels
+    from the pointer-jumping components loop over core points only
+    (operators/density.py; oracle = brute-force pairs + recursive-CTE
+    min-reachability)."""
+    from locus_spark.operators.density import dbscan
+
+    pts = derived.load(spark, sf_dir, "points")
+    return dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_PTS)
 
 
 def _persisted_boxes_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
