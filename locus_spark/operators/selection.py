@@ -77,6 +77,29 @@ def top_n_per_group(
     )
 
 
+def top_alloc_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    alloc: DataFrame,
+    id_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Exactly the top ``min(alloc.n, n_group)`` rows of each group, with a
+    DIFFERENT quota per group — ``alloc`` is a tiny (group, n) table (one
+    row per group, broadcast onto the histogram).  Same two-pass histogram
+    machinery as the fixed-``n`` variant; groups absent from ``alloc``
+    keep nothing."""
+    return _top_k_per_group(
+        df, group_col, order_col, id_col,
+        k_of_total=lambda total: F.least(F.col("_alloc_n"), total),
+        lo=lo, hi=hi, buckets=buckets,
+        alloc=alloc.select(group_col, F.col("n").cast("long").alias("_alloc_n")),
+    )
+
+
 def _top_k_per_group(
     df: DataFrame,
     group_col: str,
@@ -86,9 +109,11 @@ def _top_k_per_group(
     lo: float,
     hi: float,
     buckets: int,
+    alloc: DataFrame | None = None,
 ) -> DataFrame:
     """Shared exact two-pass selection; ``k_of_total`` maps the per-group
-    total-count Column to the per-group keep-count Column."""
+    total-count Column to the per-group keep-count Column (and may read
+    the ``_alloc_n`` column when ``alloc`` is supplied)."""
     bucket = F.least(
         F.lit(buckets - 1),
         F.greatest(
@@ -101,6 +126,8 @@ def _top_k_per_group(
     # pass 1: (group, bucket) histogram — the only full-data aggregation,
     # map-side combinable, output ≤ groups × buckets rows
     hist = src.groupBy(group_col, "_bkt").agg(F.count("*").alias("_cnt"))
+    if alloc is not None:
+        hist = hist.join(F.broadcast(alloc), group_col)
     wdesc = (
         Window.partitionBy(group_col)
         .orderBy(F.col("_bkt").desc())

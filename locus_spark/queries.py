@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "kd_knn_upsert",
     "pages_canonical_dedup",
     "kd_dbscan",
+    "doc_mix_temperature",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -3147,6 +3148,30 @@ def q_doc_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")
     )
+
+
+#: temperature-mix sample size for the driver row
+MIX_TOTAL = 200
+
+
+def _mix_oracle() -> str:
+    from locus_spark.operators.mixing import temperature_mix_oracle_sql
+
+    return temperature_mix_oracle_sql("source", MIX_TOTAL)
+
+
+@register("doc_mix_temperature", _mix_oracle())
+def q_doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.5) training-mix sample: per-source quotas
+    by largest-remainder apportionment over round(sqrt(count)*1e6)
+    integer weights — exact integer arithmetic end to end — and members
+    chosen per group by md5 priority through the two-pass histogram
+    selection (no per-group global sort; operators/mixing.py)."""
+    from locus_spark.operators.mixing import temperature_mix
+
+    derived.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return temperature_mix(docs, "source", MIX_TOTAL)
 
 
 def _lm_oracle() -> str:
