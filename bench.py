@@ -83,6 +83,12 @@ HEADLINE = [
     "doc_pagerank",
     "doc_search_phrase",
     "doc_pmi_collocations",
+    "doc_triangles",
+    "doc_hits",
+    "doc_lm_score",
+    "kd_dbscan",
+    "kd_knn_upsert",
+    "pages_canonical_dedup",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family
