@@ -113,6 +113,8 @@ _CHECK_FIRST = [
     "pages_canonical_dedup",
     "kd_dbscan",
     "doc_mix_temperature",
+    "events_funnel",
+    "events_retention",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -3239,6 +3241,116 @@ def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("v"))
     return hits(nodes, derive_links(docs, n)).withColumnRenamed("v", "doc_id")
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM s3
+)
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each step is the
+    user's FIRST qualifying event strictly after the previous step.  Three
+    map-side-combinable min-aggregations chained by user-keyed joins —
+    never a per-user event-list sort or window, so a bot user with 10^8
+    events costs one combiner, not one reducer."""
+    derived.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def row(step: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    return row(1, "view", s1).unionByName(row(2, "click", s2)).unionByName(
+        row(3, "purchase", s3)
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firstday AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, fd.cohort_day,
+         date_diff('day', fd.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firstday fd ON fd.user_id = e.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM activity GROUP BY 1, 2
+"""
+
+
+@register("events_retention", _RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted once per (cohort, day-offset) they were active.  Two hash
+    aggregations + one user-keyed join; the distinct is on (user, offset)
+    — bounded by users × horizon, never by event volume."""
+    derived.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    fd = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = (
+        ev.join(fd, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count("*").alias("n_users"))
 
 
 _ASOF_ORACLE = """
