@@ -102,11 +102,14 @@ def connected_components(
 
     Scale shape: each phase is one min-aggregate + one equi-join on the
     edge frame, both map-side combinable; no component is ever
-    materialized on one task.  The fixpoint check is exact (count +
-    one-sided subtract of canonicalized edge sets — both shuffles on the
-    same key the phases already used).  ``max_rounds`` is a runaway
-    backstop; hitting it raises rather than returning a partial
-    labeling."""
+    materialized on one task.  Small-star output is already a distinct,
+    consistently-oriented (u > v) edge set, so the per-round fixpoint
+    gate is ONE scalar aggregate (count + order-free xxhash64 sum) over
+    the frame the round just materialized; only when the signature
+    repeats does an exact one-sided subtract CONFIRM the fixpoint (hash
+    equality alone is collision-probabilistic — the subtract runs once
+    per call, not once per round).  ``max_rounds`` is a runaway backstop;
+    hitting it raises rather than returning a partial labeling."""
     edges = (
         pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -116,32 +119,32 @@ def connected_components(
     all_nodes = _truncate_lineage(
         edges.select("u").union(edges.select("v")).distinct()
     )
-    prev_canon = None
+    prev_sig, prev_edges = None, None
     for _ in range(max_rounds):
         edges = _truncate_lineage(_small_star(_large_star(edges)))
-        canon = edges.select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        ).distinct()
-        canon = _truncate_lineage(canon)
-        if prev_canon is not None:
-            same_count = canon.count() == prev_canon.count()
-            if same_count and canon.subtract(prev_canon).isEmpty():
-                bidir = edges.union(
-                    edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        row = edges.agg(
+            F.count("*").alias("c"),
+            # decimal accumulator: a LONG sum of 2^63-scale hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        if sig == prev_sig and edges.subtract(prev_edges).isEmpty():
+            bidir = edges.union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            return (
+                all_nodes.join(
+                    bidir.groupBy("u").agg(F.min("v").alias("_mn")),
+                    "u",
+                    "left",
                 )
-                labels = (
-                    all_nodes.join(
-                        bidir.groupBy("u").agg(F.min("v").alias("_mn")),
-                        "u",
-                        "left",
-                    )
-                    .select(
-                        F.col("u").alias("node"),
-                        F.least("u", F.coalesce("_mn", "u")).alias("component"),
-                    )
+                .select(
+                    F.col("u").alias("node"),
+                    F.least("u", F.coalesce("_mn", "u")).alias("component"),
                 )
-                return labels
-        prev_canon = canon
+            )
+        prev_sig, prev_edges = sig, edges
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )

@@ -40,7 +40,7 @@ DATA_ROOT = "/tmp/locus_text_scaling"
 VOCAB_N = 600
 DOC_TOKENS = 30
 PR_ROUNDS = 3
-OPS = ("minhash_rows_per_s", "pagerank_rows_per_s")
+OPS = ("minhash_rows_per_s", "pagerank_rows_per_s", "cc_rows_per_s")
 
 
 def corpus_path(docs: int) -> pathlib.Path:
@@ -126,6 +126,25 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
             edges_are_weighted=True,
         ).count()
 
+    # connected components: star contraction over the derived pseudo link
+    # graph at pr_nodes scale — the un-bucketable iterative shape (the
+    # edge set itself is REWRITTEN every round, so unlike PageRank there
+    # is no static side to pre-bucket; what scales is the per-round
+    # min-agg + join + distinct pipeline).
+    cc_df = None
+    if "cc" in ops:
+        from locus_spark.operators.components import connected_components
+
+        cc_df = spark.range(pr_nodes)
+
+    def run_cc(frame):
+        from locus_spark.operators.components import connected_components
+
+        pairs = derive_links(frame, pr_nodes, id_col="id").select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        return connected_components(pairs).count()
+
     if "minhash" in ops:
         warm = docs_df.limit(20_000).cache()
         warm.count()
@@ -136,11 +155,14 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
         pagerank(wn.select(F.col("id").alias("v")),
                  derive_links(wn, 20_000, id_col="id"), 20_000,
                  iterations=PR_ROUNDS).count()
+    if "cc" in ops:
+        run_cc(spark.range(20_000))
 
     out: dict[str, float] = {"job": "text_scaling", "cores": cores, "docs": docs}
     for name, fn, frame, load in (
         ("minhash", run_minhash, docs_df, docs),
         ("pagerank", run_pagerank, pr_df, pr_nodes),
+        ("cc", run_cc, cc_df, pr_nodes),
     ):
         if name not in ops:
             continue
