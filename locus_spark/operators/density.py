@@ -143,7 +143,14 @@ def dbscan_oracle_sql(
     """DuckDB mirror: brute-force eps pairs (the oracle may cross join),
     recursive-CTE min-reachability over core-core edges, identical
     min-label border assignment and -1 noise label.  ``points_cte`` must
-    define a ``points(id, x, y)`` view prefix (WITH ... )."""
+    define a ``points(id, x, y)`` view prefix (WITH ... ).
+
+    Scale bound of the ORACLE (not the operator): min-reachability
+    enumerates |component|² (node, label) rows, so a near-percolating
+    core graph (sf0.1's 15k-point cloud at eps=8 is one giant component)
+    blows the CTE up — the oracle is for the driver's sf0.01 gate, where
+    it runs in under a second; the Spark operator itself handles sf0.1 in
+    ~9 s (bench)."""
     e = repr(float(eps))
     return f"""
 {points_cte}

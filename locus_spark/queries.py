@@ -115,6 +115,9 @@ _CHECK_FIRST = [
     "doc_mix_temperature",
     "events_funnel",
     "events_retention",
+    # hoisted back into the window: its CC engine was rewritten this round
+    # (star contraction), so it must be driver-verified on the new code
+    "dedup_clusters",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
