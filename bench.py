@@ -89,6 +89,7 @@ HEADLINE = [
     "kd_dbscan",
     "kd_knn_upsert",
     "pages_canonical_dedup",
+    "pages_dbscan",
 ]
 
 #: queries that cache()/persist() intermediates internally (the dedup family
@@ -119,6 +120,12 @@ RING_STATE = {
     "seg_knn_to_point",
     "seg_knn_persisted",
     "pages_knn",
+    "doc_pagerank",    # power-iteration rounds localCheckpoint their state
+    "doc_triangles",
+    "doc_hits",
+    "kd_dbscan",       # CC star-contraction rounds localCheckpoint edges
+    "pages_dbscan",
+    "kd_knn_upsert",
 }
 
 

@@ -118,6 +118,7 @@ _CHECK_FIRST = [
     # hoisted back into the window: its CC engine was rewritten this round
     # (star contraction), so it must be driver-verified on the new code
     "dedup_clusters",
+    "pages_dbscan",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -2528,6 +2529,36 @@ def q_pages_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("raw").alias("n_raw_forms"),
         F.min("raw").alias("rep_url"),
     )
+
+
+#: pages-DBSCAN parameters: eps well under the 2-degree geocode jitter, so
+#: only genuinely dense url clusters (hot hosts — the built-in skew of the
+#: synth corpus, max host ~2k pages) reach core density; sparse hosts fall
+#: out as noise.  The spam-farm-detection shape.
+PAGES_DBSCAN_EPS = 0.25
+PAGES_DBSCAN_MIN_PTS = 5
+
+
+def _pages_dbscan_oracle() -> str:
+    from locus_spark.operators.density import dbscan_oracle_sql
+
+    cte = (
+        "WITH RECURSIVE points AS ("
+        f"SELECT id, x, y FROM read_parquet('{PAGES_DATA_DIR}/*.parquet'))"
+    )
+    return dbscan_oracle_sql(cte, PAGES_DBSCAN_EPS, PAGES_DBSCAN_MIN_PTS)
+
+
+@register("pages_dbscan", _pages_dbscan_oracle())
+def q_pages_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering of the geocoded pages: dense url neighborhoods
+    (hot hosts / spatial spam farms) become DBSCAN clusters, sparse hosts
+    noise — the production-input twin of kd_dbscan, over the persisted
+    geocoded parquet (operators/density.py)."""
+    from locus_spark.operators.density import dbscan
+
+    geo = _persisted_geocoded_pages(spark).select("id", "x", "y")
+    return dbscan(geo, PAGES_DBSCAN_EPS, PAGES_DBSCAN_MIN_PTS)
 
 
 #: host re-derived from the STORED url with the same regex in both engines
