@@ -119,6 +119,7 @@ _CHECK_FIRST = [
     # (star contraction), so it must be driver-verified on the new code
     "dedup_clusters",
     "pages_dbscan",
+    "events_anomaly",
 ]
 
 #: names sunk to the TAIL: hash-green on identical code for two consecutive
@@ -3275,6 +3276,70 @@ def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("v"))
     return hits(nodes, derive_links(docs, n)).withColumnRenamed("v", "doc_id")
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), rated AS (
+  SELECT *, CAST(n_err AS DOUBLE) / n_total AS rate FROM hourly
+), stats AS (
+  SELECT avg(rate) AS mu, sqrt(avg(rate * rate) - avg(rate) * avg(rate)) AS sd
+  FROM rated
+)
+SELECT hour, n_total, n_err,
+       round(rate, 6) AS rate,
+       round((rate - stats.mu) / stats.sd, 6) AS z,
+       abs(round((rate - stats.mu) / stats.sd, 6)) > 2.0e0 AS is_anomaly
+FROM rated CROSS JOIN stats
+"""
+
+
+@register("events_anomaly", _ANOMALY_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate anomaly detection: per-hour error fraction
+    z-scored against the corpus-wide mean/std (population formula), hours
+    beyond |z| > 2 flagged.  One map-side-combinable hourly rollup; the
+    stats are a scalar aggregate over the HOURS frame (bounded by the
+    time horizon, never event volume) cross-joined back.  The flag
+    compares the 6dp-ROUNDED z in both engines, so a borderline hour
+    cannot flip on last-bit float noise."""
+    derived.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        )
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    rated = hourly.withColumn(
+        "rate", F.col("n_err").cast("double") / F.col("n_total")
+    )
+    stats = rated.agg(
+        F.avg("rate").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("rate") * F.col("rate"))
+            - F.avg("rate") * F.avg("rate")
+        ).alias("sd"),
+    )
+    z = F.round((F.col("rate") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        rated.crossJoin(F.broadcast(stats))
+        .select(
+            "hour",
+            "n_total",
+            "n_err",
+            F.round("rate", 6).alias("rate"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(2.0)).alias("is_anomaly"),
+        )
+    )
 
 
 _FUNNEL_ORACLE = """

@@ -64,3 +64,33 @@ def test_retention_counts_distinct_users_per_offset(spark, monkeypatch):
         ("2024-03-11", 0): 1,   # user 3's own cohort
         ("2024-03-11", 2): 1,
     }
+
+
+def test_anomaly_zscore_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    T = dt.datetime(2024, 5, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    # 10 quiet hours (1 error / 10 events), one storm hour (8/10)
+    for k in range(10):
+        for j in range(10):
+            rows.append((T + k * h, j, "error" if j == 0 else "view"))
+    for j in range(10):
+        rows.append((T + 10 * h, j, "error" if j < 8 else "view"))
+    ev = _ev(spark, rows)
+    monkeypatch.setattr(
+        q.derived, "register_base_tables",
+        lambda spark_, sf: ev.createOrReplaceTempView("events"),
+    )
+    got = {r["hour"]: r for r in q.q_events_anomaly(spark, "x").collect()}
+    rates = np.array([0.1] * 10 + [0.8])
+    mu, sd = rates.mean(), rates.std()
+    assert len(got) == 11
+    storm = got["2024-05-01 10:00"]
+    assert (storm["n_total"], storm["n_err"], storm["rate"]) == (10, 8, 0.8)
+    assert storm["z"] == round((0.8 - mu) / sd, 6)
+    assert storm["is_anomaly"] is True
+    quiet = got["2024-05-01 00:00"]
+    assert quiet["is_anomaly"] is False
+    assert quiet["z"] == round((0.1 - mu) / sd, 6)
