@@ -20,9 +20,10 @@ right):
   the same skew the kNN planner salts (skew.py), and AQE skew-join splits
   oversized partitions at runtime;
 * neighbor counts, core filtering, and border assignment are map-side-
-  combinable hash aggregations; cluster labels reuse the O(log diameter)
-  pointer-jumping components loop (operators/components.py) over CORE
-  points only — noise and border points never enter the iteration.
+  combinable hash aggregations; cluster labels reuse the O(log n)-round
+  large-star/small-star contraction components loop (Kiveris et al.,
+  operators/components.py) over CORE points only — noise and border
+  points never enter the iteration.
 
 Determinism: labels are the smallest core id per component; border points
 take the smallest core-neighbor label (the reference DBSCAN's
@@ -91,7 +92,20 @@ def eps_neighbor_pairs(points: DataFrame, eps: float) -> DataFrame:
 def dbscan(points: DataFrame, eps: float, min_pts: int) -> DataFrame:
     """(id, cluster, is_core) for EVERY input point: cluster = smallest
     core id reachable through the core-core eps-graph (border points take
-    their smallest core neighbor's cluster), -1 = noise."""
+    their smallest core neighbor's cluster), -1 = noise.
+
+    Precondition: ``min_pts >= 2``.  Core-ness is counted from the
+    NEIGHBOR-PAIR frame, where a fully isolated point has no row — at
+    ``min_pts <= 1`` (where textbook DBSCAN makes every point core, its
+    closed neighborhood always holding itself) it would silently come out
+    noise instead, so the degenerate setting is rejected rather than
+    answered wrong (ADVICE r4)."""
+    if min_pts < 2:
+        raise ValueError(
+            "dbscan: min_pts must be >= 2 (at min_pts <= 1 every point is "
+            "core by definition; this pair-counting plan cannot see "
+            "isolated points)"
+        )
     pairs = _truncate_lineage(eps_neighbor_pairs(points, eps))
     ncnt = pairs.groupBy("a").agg(F.count("*").alias("_n"))
     core = _truncate_lineage(

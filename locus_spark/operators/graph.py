@@ -437,15 +437,45 @@ def hits(
 
     Scale shape: identical to the PageRank loop — each half-step is one
     key-partitioned join (scores |V| x edges |E|) + one map-side-combined
-    ``groupBy.sum``; the normalizer is a scalar aggregate (collected to
-    the driver — one double per half-step, never data).  Round state is
-    lineage-truncated.  At production scale the edge frame belongs in a
-    src- AND dst-bucketed pair of tables (the loop joins on both ends).
+    ``groupBy.sum``; the normalizer rides INSIDE the plan as a one-row
+    broadcast (``crossJoin(broadcast(sum))``) instead of a per-half-step
+    driver collect, so a full iteration (both half-steps) is ONE blocking
+    job — the round-state checkpoint — rather than four (measured 8.0 s →
+    ~2.5 s at sf0.1: at toy scale the wall was pure per-job scheduling
+    floor, 16 half-steps x 2 blocking jobs each).  Round state is
+    lineage-truncated once per iteration; the final ``auth`` lineage hangs
+    one half-step off the last checkpoint (recomputed once at consume
+    time).  At production scale the edge frame belongs in a src- AND
+    dst-bucketed pair of tables (the loop joins on both ends).
+
+    Edgeless graphs: every half-step sum is empty (normalizer null), so
+    scores short-circuit to 0.0 for every node instead of dividing by
+    null/zero — the L1 fixpoint of a graph with no link mass.
 
     Scores round to 6 decimals at the END only; per-round sums stay raw
     double (the oracle unrolls the identical raw-double recurrence)."""
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
+
+    def _l1_normalized(raw: DataFrame, key: str, col: str) -> DataFrame:
+        """nodes left-joined with ``raw`` (keyed ``key``), divided by the
+        global L1 mass carried as a one-row broadcast column.  Null/zero
+        mass (edgeless graph) => all-zero scores, never a null division."""
+        norm = raw.agg(F.sum(col).alias("_norm"))
+        return (
+            nodes.join(raw.withColumnRenamed(key, "v"), "v", "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "v",
+                F.when(
+                    F.col("_norm").isNotNull() & (F.col("_norm") != 0.0),
+                    F.coalesce(col, F.lit(0.0)) / F.col("_norm"),
+                )
+                .otherwise(0.0)
+                .alias(col),
+            )
+        )
+
     e = _truncate_lineage(edges.select("src", "dst"))
     state = _truncate_lineage(
         nodes.select("v", F.lit(1.0).alias("h"))
@@ -456,25 +486,13 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
         )
-        a_sum = a_raw.agg(F.sum("a")).first()[0]
-        auth = nodes.join(
-            a_raw.withColumnRenamed("dst", "v"), "v", "left"
-        ).select(
-            "v", (F.coalesce("a", F.lit(0.0)) / F.lit(float(a_sum))).alias("a")
-        )
-        auth = _truncate_lineage(auth)
+        auth = _l1_normalized(a_raw, "dst", "a")
         h_raw = (
             e.join(auth.withColumnRenamed("v", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
         )
-        h_sum = h_raw.agg(F.sum("h")).first()[0]
-        state = _truncate_lineage(
-            nodes.join(h_raw.withColumnRenamed("src", "v"), "v", "left").select(
-                "v",
-                (F.coalesce("h", F.lit(0.0)) / F.lit(float(h_sum))).alias("h"),
-            )
-        )
+        state = _truncate_lineage(_l1_normalized(h_raw, "src", "h"))
         last_auth = auth
     return state.join(last_auth, "v").select(
         "v", F.round("h", 6).alias("hub"), F.round("a", 6).alias("auth")

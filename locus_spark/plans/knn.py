@@ -76,6 +76,17 @@ ANN_BROADCAST_MAX_ROWS = 4_000_000
 #: scale now always take it.)
 CAP_SAMPLE_RATE = 16
 
+#: arm the sampled-cap prefilter for the BROADCAST evaluator from this
+#: target count on, even below the LOCAL_TOPK_MIN_TARGETS full-machinery
+#: threshold: at sf0.1 (~600k segments, 1000 probe segments, one 3x3-ish
+#: ring) the un-prefiltered collect_list aggregation ingests the full
+#: candidate volume and its walls turn ERRATIC under memory pressure —
+#: measured min-of-reps 6.0 s but 15.4 s on 2 of 4 warm reps (and 25-55 s
+#: whole-query outliers in the round-4 board), vs a flat 5.4 s with the
+#: prefilter on.  Below this count the sampled pass is pure overhead
+#: (and toy-scale tests pin the plain-broadcast plan).
+SCAP_MIN_TARGETS = 100_000
+
 #: evaluator choice of each round of the most recent generic_knn_join call
 #: ("cogroup" | "broadcast" | "broadcast+scap") — introspection for tests,
 #: so a forced-path test can assert the forced path actually ran instead of
@@ -186,6 +197,33 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     out = df.checkpoint(eager=True)
     df.unpersist()
     return _fresh_stats(out)
+
+
+def _small_state(df: DataFrame) -> DataFrame:
+    """Materialize a ROUND's state below the large-scale threshold.
+
+    Mode knob ``spark.locus.knn.smallstate`` (kept as A/B instrumentation
+    from the round-5 seg_knn investigation):
+
+    * ``eager``       — ``_truncate_lineage`` (eager checkpoint + fresh
+      stats).  The DEFAULT since round 5: the round-4 ``lazy`` gate made
+      seg_knn's walls erratic (sf0.1 min-of-3 A/B, fresh JVM per mode:
+      lazy [25.9, 8.2, 31.8] s vs eager [26.9(cold-codegen), 9.5, 9.1] s —
+      the lazy plan re-evaluates the wide seg-seg dist² nondeterministically
+      when checkpoint blocks materialize inside a consuming job), while for
+      kd/r/seg-to-point eager measured equal-or-faster (kd_knn 1.01 vs
+      1.12, r_knn 4.94 vs 5.63, seg_to_point 4.43 vs 5.17).
+    * ``lazy``        — ``localCheckpoint(eager=False)`` (the round-4 gate).
+    * ``lazy_fresh``  — lazy + ``_fresh_stats`` (measured WORST: seg_knn
+      min 18.7 s — kept only so the A/B remains reproducible).
+    """
+    mode = df.sparkSession.conf.get("spark.locus.knn.smallstate", "eager")
+    if mode == "eager":
+        return _truncate_lineage(df)
+    out = df.localCheckpoint(eager=False)
+    if mode == "lazy_fresh":
+        out = _fresh_stats(out)
+    return out
 
 
 def probe_frame(
@@ -562,7 +600,9 @@ def generic_knn_join(
             # saves, and probes sampled from skewed data make a density
             # *estimate* under-count by orders of magnitude (200x measured)
             # — so at scale the prefilter is simply always worth it.
-            use_scap = use_cogroup and (n_nocap is None or n_nocap > 0)
+            use_scap = (use_cogroup or n_targets >= SCAP_MIN_TARGETS) and (
+                n_nocap is None or n_nocap > 0
+            )
             if use_scap:
                 # capless probes over dense cells (all of them in round one;
                 # later, probes that still found < k candidates): derive a
@@ -641,14 +681,11 @@ def generic_knn_join(
             )
         )
         # Round-state materialization: below the large-scale threshold the
-        # EAGER checkpoint machinery (a dedicated write job per round, sized
-        # for 128M-row state) costs more than the round's actual work — there
-        # a LAZY localCheckpoint truncates lineage without its own job: the
-        # keyless termination agg right below scans every partition anyway,
-        # so the blocks are stored inside the job that first consumes them,
-        # and (unlike persist) the blocks stay ContextCleaner-tracked rather
-        # than pinned in the CacheManager.  At scale, _truncate_lineage keeps
-        # the eager persist-first protocol the reliable-checkpoint mode needs.
+        # mode is picked by _small_state (default EAGER since round 5 — the
+        # round-4 lazy localCheckpoint made the wide-dist² segment family's
+        # walls erratic; measurements in _small_state's docstring).  At
+        # scale, _truncate_lineage keeps the eager persist-first protocol
+        # the reliable-checkpoint mode needs.
         merged_plan = (
             top.select(
                 "qid",
@@ -665,7 +702,7 @@ def generic_knn_join(
             )
         )
         if persist_targets:
-            merged = merged_plan.localCheckpoint(eager=False)
+            merged = _small_state(merged_plan)
         else:
             merged = _truncate_lineage(merged_plan)
         if _DEBUG:

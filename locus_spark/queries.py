@@ -64,26 +64,95 @@ def register(name: str, oracle: str | None):
 
 
 #: names hoisted to the FRONT of the exported registry order: the driver's
-#: correctness harness checks a bounded prefix of ``queries()`` (50 in r3,
-#: which left the pages/events family unverified), so the least-recently
-#: verified and newest queries must sit inside that window.
+#: correctness harness checks a bounded prefix of ``queries()`` (50 rows in
+#: r3/r4).  Round-5 rotation policy (VERDICT r4 item 2, now explicit): the
+#: window holds (a) every row whose last hash-green round is >= 2 rounds
+#: stale — all 47 r3-green rows this round, spatial family first because
+#: the kNN planner (plans/knn.py) changed in BOTH r4 and r5 — plus (b)
+#: rows whose operator module changed this round while green last round
+#: (doc_hits: normalizer rework; pages_canonical_dedup: orphan-'&' fix +
+#: oracle mirror; pages_knn: planner small-state change on the geocoded
+#: twin).  No row is ever left stale >= 3 rounds.
 _CHECK_FIRST = [
-    "pages_extract_identity",
+    "kd_find_box",
+    "kd_find_ball",
+    "kd_knn",
+    "kd_knn_auto",
+    "kd_nearest",
+    "kd_find_box_persisted",
+    "kd_knn_persisted",
+    "r_find_subsets",
+    "r_find_subsets_persisted",
+    "r_find_supersets",
+    "r_knn",
+    "r_nearest",
+    "seg_knn_to_point",
+    "seg_knn_persisted",
+    "seg_nearest_to_point",
+    "seg_knn",
+    "seg_nearest",
+    "pages_geotile_lang",
     "pages_knn",
+    "pages_canonical_dedup",
+    "doc_hits",
+    "tile_point_counts",
+    "tile_pyramid",
+    "pip_polygons",
+    "raster_vector",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_sample_stratified",
+    "doc_fingerprint",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_top_quality",
+    "doc_passage_dedup",
+    "doc_host_cap",
+    "dedup_decontaminate",
+    "doc_repetition",
+    "doc_len_quantiles",
+    "doc_pack_sequences",
+    "pipeline_training_mix",
+    "doc_lang_id",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_lsh_top1_planted",
+    "ann_ivf_top1_planted",
+    "ann_ivf_top1_persisted",
+    "dedup_embedding_lsh",
+    "media_frame_sample",
+    "media_features",
+]
+
+#: names sunk to the TAIL: hash-green in CORRECTNESS_r04 on code untouched
+#: in round 5 — the safest rows to leave outside the bounded check window
+#: (each is at most 1 round stale; they rotate back in next round by the
+#: policy above).
+_CHECK_LAST = [
+    "kd_find_box_incremental",
+    "kd_knn_incremental",
+    "kd_knn_upsert",
+    "kd_dbscan",
+    "r_overlaps",
+    "dedup_incremental",
+    "doc_span_dedup",
+    "dedup_incremental_minhash",
+    "dedup_clusters",
+    "ann_lsh_recall",
+    "ann_lsh_topk_planted",
+    "ann_ivf_topk_planted",
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_pq_top1_planted",
+    "ann_pq_top1_persisted",
+    "pages_extract_identity",
+    "pages_dbscan",
     "pages_host_stats",
     "events_dedup_replayed",
     "events_sessionize",
     "events_hourly",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "ann_lsh_topk_planted",
-    "ann_ivf_topk_planted",
-    "r_overlaps",
-    "kd_find_box_incremental",
-    "kd_knn_incremental",
-    "ann_pq_recall",
-    "ann_pq_top1_planted",
-    "ann_pq_top1_persisted",
     "doc_join_bucketed",
     "events_attribution",
     "doc_distinct_hll",
@@ -91,77 +160,24 @@ _CHECK_FIRST = [
     "doc_heavy_hitters",
     "doc_search_and",
     "doc_search_persisted",
+    "doc_search_bm25",
+    "doc_search_bm25_persisted",
+    "doc_search_phrase",
+    "events_trending_props",
+    "doc_pmi_collocations",
+    "doc_pagerank",
+    "doc_pagerank_personalized",
+    "doc_pagerank_incremental",
+    "doc_mix_temperature",
+    "doc_lm_score",
+    "doc_triangles",
+    "events_anomaly",
+    "events_funnel",
+    "events_retention",
     "events_asof_view",
     "doc_jsonl_ingest",
     "doc_rollup_lang_source",
     "doc_set_ops",
-    "dedup_incremental",
-    "doc_span_dedup",
-    "dedup_incremental_minhash",
-    "doc_search_bm25",
-    "doc_search_bm25_persisted",
-    "doc_pagerank",
-    "doc_search_phrase",
-    "doc_pmi_collocations",
-    "events_trending_props",
-    "doc_pagerank_personalized",
-    "doc_pagerank_incremental",
-    "doc_triangles",
-    "doc_hits",
-    "doc_lm_score",
-    "kd_knn_upsert",
-    "pages_canonical_dedup",
-    "kd_dbscan",
-    "doc_mix_temperature",
-    "events_funnel",
-    "events_retention",
-    # hoisted back into the window: its CC engine was rewritten this round
-    # (star contraction), so it must be driver-verified on the new code
-    "dedup_clusters",
-    "pages_dbscan",
-    "events_anomaly",
-]
-
-#: names sunk to the TAIL: hash-green on identical code for two consecutive
-#: rounds (CORRECTNESS_r02 + r03) — the safest rows to leave outside a
-#: bounded check window.  With more registered queries than TAIL slots, the
-#: overflow (the mid-section tail, r3-green once and locally re-verified via
-#: tools/check_oracle.py this round) is the next-safest tier.
-_CHECK_LAST = [
-    # green in both r2 and r3, displaced from the window by round-4 queries:
-    "kd_find_box_persisted",
-    "kd_knn_persisted",
-    "ann_lsh_top1_planted",
-    "dedup_embedding_lsh",
-    "ann_cosine_topk",
-    "dedup_embedding_cosine",
-    "kd_find_box",
-    "kd_find_ball",
-    "kd_knn",
-    "kd_knn_auto",
-    "kd_nearest",
-    "r_find_subsets",
-    "r_find_supersets",
-    "r_knn",
-    "r_nearest",
-    "seg_nearest",
-    "seg_knn",
-    "seg_nearest_to_point",
-    "seg_knn_to_point",
-    "tile_point_counts",
-    "pip_polygons",
-    # green in both r2 and r3:
-    "media_features",
-    "media_frame_sample",
-    "doc_fingerprint",
-    "doc_token_stats",
-    "raster_vector",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "doc_quality",
-    "doc_lang_id",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
 ]
 
 
@@ -471,9 +487,9 @@ def q_kd_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based DBSCAN over the point cloud: eps-neighbor pairs via a
     3x3 cell-neighborhood equi-join (cell width == eps — linear shuffle,
     never a distance cross join), core/border/noise roles, cluster labels
-    from the pointer-jumping components loop over core points only
-    (operators/density.py; oracle = brute-force pairs + recursive-CTE
-    min-reachability)."""
+    from the star-contraction components loop (O(log n) rounds) over core
+    points only (operators/density.py; oracle = brute-force pairs +
+    recursive-CTE min-reachability)."""
     from locus_spark.operators.density import dbscan
 
     pts = derived.load(spark, sf_dir, "points")

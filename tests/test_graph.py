@@ -271,3 +271,15 @@ def test_hits_matches_numpy(spark):
         assert abs(got[v][1] - round(a[v], 6)) < 2e-6, (v, got[v], a[v])
     # node 4 points at 0 but nothing points at 4: authority exactly zero
     assert got[4][1] == 0.0
+
+
+def test_hits_edgeless_graph_all_zero(spark):
+    """No edges => no link mass: every hub/auth score is 0.0 instead of a
+    null-division crash (ADVICE r4 — float(None) TypeError in the old
+    driver-collected normalizer)."""
+    from locus_spark.operators.graph import hits
+
+    n = spark.createDataFrame([(i,) for i in range(3)], "v long")
+    e = spark.createDataFrame([], "src long, dst long")
+    got = {r["v"]: (r["hub"], r["auth"]) for r in hits(n, e, iterations=2).collect()}
+    assert got == {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0)}

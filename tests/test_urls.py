@@ -23,6 +23,9 @@ def test_canonical_url_semantics(spark):
         # all utm params dropped, non-utm params kept
         "https://a.example/p?utm_source=x&utm_medium=y": "https://a.example/p",
         "https://a.example/p?id=7&utm_source=x": "https://a.example/p?id=7",
+        # LEADING utm param: the orphaned '&' is promoted back to '?' so
+        # both param orders map to ONE dedup key (ADVICE r4)
+        "https://a.example/p?utm_source=x&id=7": "https://a.example/p?id=7",
         # default port dropped
         "https://a.example:443/p": "https://a.example/p",
         # host lowercased, path case preserved

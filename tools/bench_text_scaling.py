@@ -40,7 +40,14 @@ DATA_ROOT = "/tmp/locus_text_scaling"
 VOCAB_N = 600
 DOC_TOKENS = 30
 PR_ROUNDS = 3
-OPS = ("minhash_rows_per_s", "pagerank_rows_per_s", "cc_rows_per_s")
+#: incremental-minhash probe: batch = every INC_MODth doc, corpus = the rest
+INC_MOD = 20
+OPS = (
+    "minhash_rows_per_s",
+    "pagerank_rows_per_s",
+    "cc_rows_per_s",
+    "incminhash_rows_per_s",
+)
 
 
 def corpus_path(docs: int) -> pathlib.Path:
@@ -94,11 +101,32 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
         extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
     )
     docs_df = (
-        spark.read.parquet(str(corpus_path(docs))) if "minhash" in ops else None
+        spark.read.parquet(str(corpus_path(docs)))
+        if ("minhash" in ops or "incminhash" in ops)
+        else None
     )
 
     def run_minhash(frame):
         return minhash_lsh_pairs(frame).count()
+
+    # incremental MinHash probe (VERDICT r4 item 8): corpus FIXED — its
+    # band index is a persisted parquet layout built once, untimed (the
+    # same build/query split as the spatial replay) — and the timed work
+    # is the per-snapshot probe: batch banding + broadcast-probe of the
+    # corpus band layout + exact-Jaccard verify of the candidates.  The
+    # production recurring-crawl shape: nothing corpus-sized shuffles.
+    inc_bands = inc_corpus = inc_batch = None
+    if "incminhash" in ops:
+        from locus_spark.operators.dedup import incremental_minhash_dedup
+
+        inc_bands = spark.read.parquet(f"{DATA_ROOT}/incmh_bands_{docs}")
+        inc_corpus = docs_df.filter(F.col("doc_id") % INC_MOD != 0)
+        inc_batch = docs_df.filter(F.col("doc_id") % INC_MOD == 0)
+
+    def run_incminhash(frame):
+        from locus_spark.operators.dedup import incremental_minhash_dedup
+
+        return incremental_minhash_dedup(inc_bands, inc_corpus, inc_batch).count()
 
     # PageRank needs only ids — its load is sized independently of the
     # text corpus (pr_nodes) so per-round real work dominates the
@@ -150,6 +178,12 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
         warm.count()
         run_minhash(warm)
         warm.unpersist()
+    if "incminhash" in ops:
+        from locus_spark.operators.dedup import incremental_minhash_dedup
+
+        incremental_minhash_dedup(
+            inc_bands, inc_corpus, inc_batch.limit(5_000)
+        ).count()
     if "pagerank" in ops:
         wn = spark.range(20_000)
         pagerank(wn.select(F.col("id").alias("v")),
@@ -163,6 +197,8 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
         ("minhash", run_minhash, docs_df, docs),
         ("pagerank", run_pagerank, pr_df, pr_nodes),
         ("cc", run_cc, cc_df, pr_nodes),
+        # throughput denominator = BATCH docs (the per-snapshot work unit)
+        ("incminhash", run_incminhash, None, docs // INC_MOD),
     ):
         if name not in ops:
             continue
@@ -221,6 +257,39 @@ def ensure_corpus(docs: int, cores: int) -> None:
     spark.stop()
 
 
+def ensure_bands(docs: int, cores: int) -> None:
+    """Build-once corpus MinHash band index for the incminhash op —
+    UNTIMED (the build/query split: per-snapshot probes never recompute a
+    corpus signature; same layout recipe as queries._persisted_corpus_bands)."""
+    path = pathlib.Path(DATA_ROOT) / f"incmh_bands_{docs}"
+    if (path / "_SUCCESS").exists():
+        return
+    from pyspark.sql import functions as F
+
+    from locus_spark.operators.dedup import _doc_shingles, band_signatures
+    from locus_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"text_scaling_bands_{docs}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    corpus = spark.read.parquet(str(corpus_path(docs))).filter(
+        F.col("doc_id") % INC_MOD != 0
+    )
+    reps = (
+        corpus.select(F.md5("text").alias("_fp"), "doc_id", "text")
+        .groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    bands = band_signatures(_doc_shingles(reps.select("doc_id", "text")))
+    bands.repartition(64).write.mode("overwrite").parquet(str(path))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
@@ -248,8 +317,10 @@ def main() -> None:
               args.pr_nodes, ops)
         return
 
-    if "minhash" in ops:
+    if "minhash" in ops or "incminhash" in ops:
         ensure_corpus(args.docs, args.high)
+    if "incminhash" in ops:
+        ensure_bands(args.docs, args.high)
     factor = args.high / args.low
     lo = run_level(args.docs, args.low, args.reps, args.parts,
                    args.pr_nodes, args.ops)

@@ -48,6 +48,19 @@ INTENTIONAL_NESTED_LOOP = {
     "r_find_subsets_persisted": "broadcast small probe boxes x pruned layout scan",
 }
 
+#: queries whose SortMergeJoin is the DOCUMENTED two-data-sized-sides
+#: contract, not a missed broadcast.
+INTENTIONAL_SORTMERGE = {
+    "pages_dbscan": (
+        "core-core semi-join (eps-pairs ⋉ core set): BOTH sides are "
+        "data-sized (O(|P|) rows each) at any scale, so a shuffle join is "
+        "the 100-TB-correct shape — broadcasting the core set would be "
+        "wrong at scale.  kd_dbscan runs the same plan; AQE converts its "
+        "smaller runtime core set to a broadcast join at sf0.001-0.1, and "
+        "may do the same here when the runtime size allows."
+    ),
+}
+
 PATTERNS = {
     "exchanges": r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)",
     "broadcast_joins": r"BroadcastHashJoin",
@@ -106,6 +119,11 @@ def main() -> None:
                 f"{name}: {c['nested_loop']} nested-loop/cartesian join(s) "
                 "not on the intentional list"
             )
+        if c["sortmerge_joins"] and name not in INTENTIONAL_SORTMERGE:
+            problems.append(
+                f"{name}: {c['sortmerge_joins']} SortMergeJoin(s) not on "
+                "the intentional list (missed broadcast, or annotate)"
+            )
         if c["rowlike_python"]:
             problems.append(
                 f"{name}: BatchEvalPython (row-at-a-time Python UDF) in plan"
@@ -130,13 +148,19 @@ def main() -> None:
         nl = str(c["nested_loop"])
         if c["nested_loop"] and name in INTENTIONAL_NESTED_LOOP:
             nl += " (intentional)"
+        smj = str(c["sortmerge_joins"])
+        if c["sortmerge_joins"] and name in INTENTIONAL_SORTMERGE:
+            smj += " (intentional)"
         lines.append(
             f"| {name} | {c['exchanges']} | {c['broadcast_joins']} | "
-            f"{c['sortmerge_joins']} | {c['shuffled_hash_joins']} | {nl} | "
+            f"{smj} | {c['shuffled_hash_joins']} | {nl} | "
             f"{c['wscg_spans']} | {c['python_arrow']} | {c['windows']} |"
         )
     lines += ["", "## Intentional nested-loop/cartesian shapes", ""]
     for name, why in sorted(INTENTIONAL_NESTED_LOOP.items()):
+        lines.append(f"- `{name}` — {why}")
+    lines += ["", "## Intentional SortMergeJoin shapes", ""]
+    for name, why in sorted(INTENTIONAL_SORTMERGE.items()):
         lines.append(f"- `{name}` — {why}")
     lines += ["", "## Lint", ""]
     if problems:
@@ -144,7 +168,8 @@ def main() -> None:
     else:
         lines.append(
             "- clean: no unintentional nested-loop/cartesian joins, no "
-            "row-at-a-time Python UDFs anywhere in the registry."
+            "unannotated SortMergeJoins, no row-at-a-time Python UDFs "
+            "anywhere in the registry."
         )
     (REPO / "PLAN_AUDIT.md").write_text("\n".join(lines) + "\n")
     print(f"PLAN_AUDIT.md written: {len(rows)} queries, {len(problems)} lint findings")
