@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import subprocess
 import sys
@@ -40,8 +41,12 @@ DATA_ROOT = "/tmp/locus_text_scaling"
 VOCAB_N = 600
 DOC_TOKENS = 30
 PR_ROUNDS = 3
-#: incremental-minhash probe: batch = every INC_MODth doc, corpus = the rest
-INC_MOD = 20
+#: incremental-minhash probe: batch = every INC_MODth doc, corpus = the rest.
+#: Env-overridable (INC_MOD=80 etc.) to vary the corpus:batch ratio at a
+#: FIXED batch size — the probe's broadcast work is batch-sized (driver-
+#: bound, core-count-invariant) while its distributed work is corpus-sized,
+#: so efficiency is a function of this ratio (production is ~100:1).
+INC_MOD = int(os.environ.get("INC_MOD", "20"))
 OPS = (
     "minhash_rows_per_s",
     "pagerank_rows_per_s",
@@ -119,7 +124,7 @@ def child(docs: int, cores: int, reps: int, parts: int, pr_nodes: int, ops: tupl
     if "incminhash" in ops:
         from locus_spark.operators.dedup import incremental_minhash_dedup
 
-        inc_bands = spark.read.parquet(f"{DATA_ROOT}/incmh_bands_{docs}")
+        inc_bands = spark.read.parquet(f"{DATA_ROOT}/incmh_bands_{docs}_m{INC_MOD}")
         inc_corpus = docs_df.filter(F.col("doc_id") % INC_MOD != 0)
         inc_batch = docs_df.filter(F.col("doc_id") % INC_MOD == 0)
 
@@ -261,7 +266,7 @@ def ensure_bands(docs: int, cores: int) -> None:
     """Build-once corpus MinHash band index for the incminhash op —
     UNTIMED (the build/query split: per-snapshot probes never recompute a
     corpus signature; same layout recipe as queries._persisted_corpus_bands)."""
-    path = pathlib.Path(DATA_ROOT) / f"incmh_bands_{docs}"
+    path = pathlib.Path(DATA_ROOT) / f"incmh_bands_{docs}_m{INC_MOD}"
     if (path / "_SUCCESS").exists():
         return
     from pyspark.sql import functions as F
