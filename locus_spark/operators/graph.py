@@ -492,6 +492,10 @@ def hits(
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
         )
+        # checkpoint once per iteration — NOT less often: chaining two
+        # iterations before materializing re-executes the shared auth/a_raw
+        # subplans in every consumer branch (measured 6.2 s vs 4.7 s at
+        # sf0.1 with an every-2nd-iteration cadence)
         state = _truncate_lineage(_l1_normalized(h_raw, "src", "h"))
         last_auth = auth
     return state.join(last_auth, "v").select(

@@ -37,6 +37,10 @@ INTENTIONAL_NESTED_LOOP = {
     "ann_lsh_topk_planted": "planted-equality row joins the exact side",
     "ann_ivf_topk_planted": "planted-equality row joins the exact side",
     "doc_heavy_hitters": "1-row total-count frame broadcast-crossed into the filter",
+    "doc_hits": "1-row L1-normalizer frame broadcast-crossed into each half-step "
+    "(replaces the round-4 per-half-step driver collect)",
+    "events_anomaly": "1-row corpus mean/std frame broadcast-crossed into the "
+    "z-score projection (stats bounded by the time horizon, never event volume)",
     "doc_top_quality": "1-row per-group cutoff frame",
     "pipeline_training_mix": "1-row per-group cutoff frame",
     # the *_over_layout queries broadcast the (explicitly small, documented)
