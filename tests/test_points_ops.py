@@ -210,6 +210,17 @@ def test_cogroup_local_topk_path_matches_broadcast(spark, monkeypatch):
     got_capped = run_all()
     assert "broadcast+scap" in set(knnplan.LAST_ROUND_EVALUATORS)
     assert got_capped == got_broadcast
+    # fourth path: the ROUND-5 mid-scale gate — sampled-cap prefilter armed
+    # via SCAP_MIN_TARGETS alone, with the cogroup machinery fully OFF
+    # (LOCAL_TOPK_MIN_TARGETS huge): the configuration every >=100k-target
+    # family runs below the 2M full-machinery threshold (the seg_knn fix).
+    monkeypatch.setattr(knnplan, "LOCAL_TOPK_MIN_TARGETS", 10**12)
+    monkeypatch.setattr(knnplan, "SCAP_MIN_TARGETS", 1)
+    got_midscale = run_all()
+    assert "broadcast+scap" in set(knnplan.LAST_ROUND_EVALUATORS)
+    assert "cogroup" not in set(knnplan.LAST_ROUND_EVALUATORS)
+    assert got_midscale == got_broadcast
+    monkeypatch.setattr(knnplan, "SCAP_MIN_TARGETS", 100_000)
     # and both match brute force for the points family
     want = _brute_knn(pts, probes, 3)
     by_q = {}
