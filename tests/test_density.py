@@ -93,3 +93,16 @@ def test_dbscan_negative_coordinates(spark):
     got = {r["id"]: r["cluster"] for r in dbscan(df, 0.5, 3).collect()}
     assert got[9] == -1
     assert all(got[i] == 0 for i in range(5))
+
+
+def test_dbscan_rejects_degenerate_min_pts(spark):
+    """min_pts <= 1 is rejected up front (ADVICE r4): the pair-counting
+    plan cannot see isolated points, which at that setting are core by
+    definition — failing loudly beats silently labeling them noise."""
+    import pytest
+
+    from locus_spark.operators.density import dbscan
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan(df, 1.0, 1)
